@@ -1,0 +1,138 @@
+"""Equivariant nonlinearities: activations registry, Gate, NormActivation.
+
+Reference parity: activation registry at e3_layers/utils/utils.py:69-84,
+``e3nn.nn.Gate`` / ``e3nn.nn.NormActivation`` as used by MessagePassing
+(e3_layers/nn/message_passing.py:191-219) and ResBlock
+(e3_layers/nn/pointwise.py:112).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from .irreps import Irrep, Irreps
+
+
+def shifted_softplus(x):
+    return jax.nn.softplus(x) - math.log(2.0)
+
+
+def tanhlu(x):
+    return jnp.tanh(x) * jnp.abs(x)
+
+
+activations: Dict[str, Callable] = {
+    "abs": jnp.abs,
+    "tanh": jnp.tanh,
+    "ssp": shifted_softplus,
+    "silu": jax.nn.silu,
+    "tanhlu": tanhlu,
+}
+
+
+def resolve_activation(act) -> Callable:
+    return activations[act] if isinstance(act, str) else act
+
+
+class Gate:
+    """Gated nonlinearity: ``irreps_in = scalars + gates + gated``.
+
+    Scalars get their own activation; gates are activated scalars that
+    multiply the gated (l>0) irreps channel-wise.  Output irreps are
+    ``scalars + gated`` (gates are consumed).
+    """
+
+    def __init__(self, irreps_scalars, act_scalars, irreps_gates, act_gates, irreps_gated):
+        self.irreps_scalars = Irreps(irreps_scalars)
+        self.irreps_gates = Irreps(irreps_gates)
+        self.irreps_gated = Irreps(irreps_gated)
+        self.act_scalars = [resolve_activation(a) for a in act_scalars]
+        self.act_gates = [resolve_activation(a) for a in act_gates]
+        assert self.irreps_gates.num_irreps == sum(
+            mi.mul for mi in self.irreps_gated
+        ), "need one gate per gated channel"
+        for mi in self.irreps_scalars + self.irreps_gates:
+            assert mi.ir.l == 0, "scalars/gates must be l=0"
+        self.irreps_in = self.irreps_scalars + self.irreps_gates + self.irreps_gated
+        self.irreps_out = self.irreps_scalars + self.irreps_gated
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ds = self.irreps_scalars.dim
+        dg = self.irreps_gates.dim
+        scalars = x[..., :ds]
+        gates = x[..., ds : ds + dg]
+        gated = x[..., ds + dg :]
+        outs: List[jnp.ndarray] = []
+        ofs = 0
+        for mi, act in zip(self.irreps_scalars, self.act_scalars):
+            outs.append(act(scalars[..., ofs : ofs + mi.dim]))
+            ofs += mi.dim
+        ofs = 0
+        acted_gates = []
+        for mi, act in zip(self.irreps_gates, self.act_gates):
+            acted_gates.append(act(gates[..., ofs : ofs + mi.dim]))
+            ofs += mi.dim
+        if acted_gates:
+            g = jnp.concatenate(acted_gates, axis=-1)
+            ofs = 0
+            gofs = 0
+            for mi in self.irreps_gated:
+                chunk = gated[..., ofs : ofs + mi.dim].reshape(
+                    gated.shape[:-1] + (mi.mul, mi.ir.dim)
+                )
+                gate = g[..., gofs : gofs + mi.mul, None]
+                outs.append(
+                    (chunk * gate).reshape(gated.shape[:-1] + (mi.dim,))
+                )
+                ofs += mi.dim
+                gofs += mi.mul
+        return (
+            jnp.concatenate(outs, axis=-1)
+            if outs
+            else jnp.zeros(x.shape[:-1] + (0,), dtype=x.dtype)
+        )
+
+
+class NormActivation:
+    """Norm-based nonlinearity: x -> x/|x| * f(|x|) per irrep channel.
+
+    ``normalize=True`` matches e3nn's default as used in ResBlock
+    (e3_layers/nn/pointwise.py:112) and MessagePassing's "norm" mode
+    (e3_layers/nn/message_passing.py:212-219).
+    """
+
+    def __init__(
+        self,
+        irreps_in,
+        scalar_nonlinearity,
+        normalize: bool = True,
+        epsilon: float = None,
+        bias: bool = False,
+    ):
+        self.irreps_in = Irreps(irreps_in)
+        self.irreps_out = self.irreps_in
+        self.act = resolve_activation(scalar_nonlinearity)
+        self.normalize = normalize
+        self.epsilon = epsilon
+        assert not bias, "bias not supported"
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        outs = []
+        ofs = 0
+        for mi in self.irreps_in:
+            chunk = x[..., ofs : ofs + mi.dim].reshape(
+                x.shape[:-1] + (mi.mul, mi.ir.dim)
+            )
+            eps = self.epsilon if self.epsilon is not None else 1e-24
+            norm2 = jnp.sum(chunk * chunk, axis=-1, keepdims=True)
+            norm = jnp.sqrt(norm2 + eps)
+            scale = self.act(norm)
+            if self.normalize:
+                scale = scale / norm
+            outs.append((chunk * scale).reshape(x.shape[:-1] + (mi.dim,)))
+            ofs += mi.dim
+        return jnp.concatenate(outs, axis=-1)
