@@ -38,6 +38,33 @@ def resolve_activation(act) -> Callable:
     return activations[act] if isinstance(act, str) else act
 
 
+def _second_moment(fn) -> float:
+    """E_{x~N(0,1)}[fn(x)^2] via Gauss-Hermite quadrature (host-side)."""
+    import numpy as np
+
+    x, w = np.polynomial.hermite_e.hermegauss(128)
+    y = np.asarray(fn(jnp.asarray(x, jnp.float32)))
+    return float((w * y * y).sum() / w.sum())
+
+
+_NORM_CACHE: Dict[int, float] = {}
+
+
+def normalize2mom(fn) -> Callable:
+    """Rescale an activation to unit second moment under N(0,1) input —
+    the variance-preserving trick e3nn applies inside Gate / Activation /
+    FullyConnectedNet; without it deep equivariant stacks shrink (or blow
+    up) multiplicatively per layer."""
+    fn = resolve_activation(fn)
+    key = id(fn)
+    if key not in _NORM_CACHE:
+        _NORM_CACHE[key] = _second_moment(fn)
+    cst = _NORM_CACHE[key] ** -0.5
+    if abs(cst - 1.0) < 1e-4:
+        return fn
+    return lambda x: fn(x) * cst
+
+
 class Gate:
     """Gated nonlinearity: ``irreps_in = scalars + gates + gated``.
 
@@ -50,8 +77,8 @@ class Gate:
         self.irreps_scalars = Irreps(irreps_scalars)
         self.irreps_gates = Irreps(irreps_gates)
         self.irreps_gated = Irreps(irreps_gated)
-        self.act_scalars = [resolve_activation(a) for a in act_scalars]
-        self.act_gates = [resolve_activation(a) for a in act_gates]
+        self.act_scalars = [normalize2mom(a) for a in act_scalars]
+        self.act_gates = [normalize2mom(a) for a in act_gates]
         assert self.irreps_gates.num_irreps == sum(
             mi.mul for mi in self.irreps_gated
         ), "need one gate per gated channel"
@@ -115,7 +142,7 @@ class NormActivation:
     ):
         self.irreps_in = Irreps(irreps_in)
         self.irreps_out = self.irreps_in
-        self.act = resolve_activation(scalar_nonlinearity)
+        self.act = normalize2mom(scalar_nonlinearity)
         self.normalize = normalize
         self.epsilon = epsilon
         assert not bias, "bias not supported"

@@ -70,8 +70,10 @@ def spherical_harmonics(
     elif isinstance(ls, (str, Irreps)):
         ls = [mi.ir.l for mi in Irreps(ls) for _ in range(mi.mul)]
     if normalize:
-        n = jnp.linalg.norm(x, axis=-1, keepdims=True)
-        x = x / jnp.maximum(n, eps)
+        # smooth safe norm: gradient is exactly 0 (not NaN) at x = 0, so
+        # padded zero-edges stay inert under force backprop
+        n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps * eps)
+        x = x / n
     outs = []
     # share powers of x across degrees
     max_l = max(ls)
