@@ -1,0 +1,231 @@
+"""DataLoader: shuffled batching, collation to host Batch, padding to static
+GraphBatch capacities, infinite auto-resetting iterators, per-process file
+sharding for data parallelism.
+
+Reference parity: e3_layers/data/dataloader.py (C4 in SURVEY.md §2).  The
+torch multi-worker pipeline is replaced by a single-process numpy pipeline
+with an optional background prefetch thread — QM9-scale preprocessing is
+trivially cheap on host, and the padded batches keep the device graph static
+(capacities are estimated once from a dataset sample and then frozen so jit
+compiles exactly once).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import queue
+import threading
+from typing import List
+
+import numpy as np
+
+from .batch import Batch
+from .data import Data
+from .graph_batch import GraphBatch
+
+
+class Collater:
+    """Reference parity: dataloader.py:13-28."""
+
+    @classmethod
+    def for_dataset(cls, dataset):
+        return cls()
+
+    def collate(self, batch: List[Data]) -> Batch:
+        return Batch.from_data_list(batch, attrs=dict(batch[0].attrs))
+
+    def __call__(self, batch):
+        return self.collate(batch)
+
+
+def estimate_capacities(dataset, batch_size: int, sample: int = 256,
+                        headroom: float = None, multiple: int = 128):
+    """Estimate static (node, edge) capacities from a dataset sample.
+
+    Capacity = batch_size * mean-per-graph * headroom, rounded up; one node
+    slot is reserved for the dummy node.  Overflowing graphs are dropped (and
+    counted) at padding time — never silently.
+    """
+    if headroom is None:
+        # batch sums concentrate as ~1/sqrt(B); small batches need more slack
+        headroom = 1.1 + 2.0 / (batch_size ** 0.5)
+    n = min(len(dataset), sample)
+    idx = np.linspace(0, len(dataset) - 1, n).astype(np.int64)
+    nodes, edges = [], []
+    for i in idx:
+        item = dataset[int(i)]
+        nodes.append(int(np.asarray(item["_n_nodes"]).sum()))
+        if "_n_edges" in item:
+            edges.append(int(np.asarray(item["_n_edges"]).sum()))
+        elif "edge_index" in item:
+            edges.append(int(np.asarray(item["edge_index"]).shape[-1]))
+        else:
+            edges.append(0)
+    def round_up(x):
+        return int(math.ceil(x / multiple) * multiple)
+    node_cap = round_up(batch_size * float(np.mean(nodes)) * headroom + 1)
+    max_graph_nodes = max(nodes)
+    node_cap = max(node_cap, round_up(max_graph_nodes + 1))
+    edge_cap = round_up(max(batch_size * float(np.mean(edges)) * headroom, 1))
+    edge_cap = max(edge_cap, round_up(max(edges) + 1))
+    return node_cap, edge_cap
+
+
+class DataLoader:
+    """Iterates padded GraphBatches over a CondensedDataset."""
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 seed: int = 0, node_capacity: int = None,
+                 edge_capacity: int = None, drop_last: bool = True,
+                 prefetch: int = 2, **kwargs):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.collater = Collater.for_dataset(dataset)
+        if node_capacity is None or edge_capacity is None:
+            node_capacity, edge_capacity = estimate_capacities(
+                dataset, batch_size
+            )
+        self.node_capacity = node_capacity
+        self.edge_capacity = edge_capacity
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.dropped_graphs = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, indices) -> GraphBatch:
+        items = [self.dataset[int(i)] for i in indices]
+        host = self.collater(items)
+        gb = GraphBatch.from_batch(
+            host, self.node_capacity, self.edge_capacity, self.batch_size
+        )
+        if gb.dropped:
+            self.dropped_graphs += gb.dropped
+            logging.warning(
+                f"batch overflowed static capacities; dropped {gb.dropped} "
+                f"graphs (total {self.dropped_graphs})"
+            )
+        return gb
+
+    def _index_batches(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        for b in range(nb):
+            yield order[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __iter__(self):
+        if self.prefetch and self.prefetch > 0:
+            return self._prefetch_iter()
+        return (self._make_batch(idx) for idx in self._index_batches())
+
+    def _prefetch_iter(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err = []
+
+        def worker():
+            try:
+                for idx in self._index_batches():
+                    q.put(self._make_batch(idx))
+            except Exception as e:  # pragma: no cover
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+    def state_dict(self):
+        return {"rng": self.rng.bit_generator.state,
+                "dropped_graphs": self.dropped_graphs}
+
+    def load_state_dict(self, state):
+        self.rng.bit_generator.state = state["rng"]
+        self.dropped_graphs = state.get("dropped_graphs", 0)
+
+
+def shard_paths(path, process_index: int, process_count: int):
+    """Partition a list of dataset files across data-parallel processes.
+
+    Reference parity: dataloader.py:50-56 (rank % gcd file sharding).
+    """
+    if not isinstance(path, (list, tuple)):
+        return path
+    g = math.gcd(process_count, len(path))
+    start = (process_index % g) * (len(path) // g)
+    end = (process_index % g + 1) * (len(path) // g)
+    return list(path)[start:end]
+
+
+def getDataIters(config, seed: int = 0, process_index: int = 0,
+                 process_count: int = 1):
+    """Build infinite train/val iterators from a config.
+
+    Reference parity: dataloader.py:46-119 (file sharding, train/val split,
+    per-process RNG seeding, auto-resetting iterators).
+    """
+    from .dataset import CondensedDataset
+    from ..utils.utils import pruneArgs
+
+    data_config = dict(config.data_config)
+    data_config["path"] = shard_paths(
+        data_config.get("path"), process_index, process_count
+    )
+    ds_kwargs = pruneArgs(CondensedDataset, **data_config)
+    dataset = CondensedDataset(**ds_kwargs)
+
+    total_n = len(dataset)
+    n_train, n_val = data_config["n_train"], data_config["n_val"]
+    if isinstance(n_train, float):
+        n_train = int(n_train * total_n)
+    if isinstance(n_val, float):
+        n_val = int(n_val * total_n)
+    if (n_train + n_val) > total_n:
+        raise ValueError(
+            "too little data for training and validation. please reduce "
+            "n_train and n_val"
+        )
+    split = data_config.get("train_val_split", "random")
+    if split == "random":
+        idcs = np.random.default_rng(seed).permutation(total_n)
+    elif split == "sequential":
+        idcs = np.arange(total_n)
+    else:
+        raise NotImplementedError(f"splitting mode {split} not implemented")
+    train_ds = dataset.index_select(idcs[:n_train])
+    eval_ds = dataset.index_select(idcs[n_train : n_train + n_val])
+
+    node_cap, edge_cap = estimate_capacities(train_ds, config.batch_size)
+    dl_kwargs = dict(
+        batch_size=config.batch_size,
+        node_capacity=node_cap,
+        edge_capacity=edge_cap,
+        drop_last=True,
+        seed=seed + process_index,
+    )
+    train_dl = DataLoader(train_ds, shuffle=True, **dl_kwargs)
+    eval_dl = DataLoader(eval_ds, shuffle=False, **dl_kwargs)
+
+    def autoReset(dataloader):
+        while True:
+            it = iter(dataloader)
+            for batch in it:
+                yield batch
+
+    return autoReset(train_dl), autoReset(eval_dl)

@@ -1,0 +1,80 @@
+"""Device mesh / sharding helpers — data parallelism over ICI.
+
+The reference's distribution layer is NCCL DDP (train.py:272, trainer.py:
+138-139): replicate the model, shard the batch, all-reduce gradients.  The
+TPU-native equivalent needs zero backend code: place a 1-D ``dp`` mesh over
+the chips, shard every GraphBatch leaf on its leading (capacity) axis, keep
+params replicated, and XLA inserts the gradient all-reduce over ICI when the
+jitted train step averages the loss.
+
+Batch sharding works because GraphBatch leaves are all either
+graph-/node-/edge-capacity leading-axis arrays (shardable) and the segment
+ids/edge indices are *local* to each graph — provided the capacities are
+multiples of the mesh size and graphs never straddle shard boundaries.  The
+simpler, always-correct layout used here: each process feeds its own batch
+(per-process file sharding, reference dataloader.py:50-56) and inside one
+process the batch is sharded by graph via equal-sized sub-batches stacked on
+a leading device axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp",
+              devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            # fall back to virtual CPU devices for testing/dry runs
+            cpu = jax.devices("cpu")
+            if len(cpu) >= n_devices:
+                devices = cpu
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicated_spec(mesh: Mesh):
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def shard_batch_spec(mesh: Mesh, axis: str = "dp"):
+    """Shard every array leaf of a GraphBatch on its leading axis."""
+    leading = NamedSharding(mesh, PartitionSpec(axis))
+
+    def spec_for(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return leading
+        return NamedSharding(mesh, PartitionSpec())
+
+    return spec_for
+
+
+def shard_graph_batch(batch, mesh: Mesh, axis: str = "dp"):
+    """Device_put a GraphBatch so leading axes are sharded over the mesh.
+
+    ``edge_index`` is [2, E] — sharded on its last axis instead.
+    """
+    n = mesh.devices.size
+    data = {}
+    for key, value in batch.data.items():
+        value = np.asarray(value)
+        if key == "edge_index":
+            spec = PartitionSpec(None, axis) if value.shape[-1] % n == 0 else (
+                PartitionSpec()
+            )
+        elif value.ndim >= 1 and value.shape[0] % n == 0:
+            spec = PartitionSpec(axis)
+        else:
+            spec = PartitionSpec()
+        data[key] = jax.device_put(value, NamedSharding(mesh, spec))
+    return type(batch)(
+        data, dict(batch.attrs), batch.n_graphs, batch.node_capacity,
+        batch.edge_capacity,
+    )

@@ -1,0 +1,184 @@
+"""Vertical-slice test: HDF5 dataset -> trainer -> loss decreases ->
+checkpoint -> resume -> inference collection.  The reference's de-facto
+integration test (SURVEY.md §4) is accuracy parity; this is the fast CI
+version on a synthetic separable dataset."""
+
+import os
+from functools import partial
+
+import h5py
+import numpy as np
+import jax
+import pytest
+
+from equivariant_nn_zoo_tpu.data.compute_edge import computeEdgeIndex
+from equivariant_nn_zoo_tpu.data.dataset import CondensedDataset
+from equivariant_nn_zoo_tpu.models import get_config
+from equivariant_nn_zoo_tpu.run import Trainer
+from equivariant_nn_zoo_tpu.utils import build
+
+
+E_SPECIES = {1: -16.4, 6: -1036.0, 7: -1489.0, 8: -2047.0}
+
+
+@pytest.fixture(scope="module")
+def qm9_file(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    path = tmp_path_factory.mktemp("data") / "qm9_tiny.hdf5"
+    Rs, Zs, Us, n_nodes = [], [], [], []
+    for _ in range(96):
+        n = int(rng.integers(4, 12))
+        pos = rng.normal(size=(n, 3)) * 1.1
+        Z = rng.choice([1, 6, 7, 8], size=(n, 1), p=[0.5, 0.3, 0.1, 0.1])
+        d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        pair = np.exp(-d[np.triu_indices(n, 1)]).sum()
+        U = sum(E_SPECIES[int(z)] for z in Z[:, 0]) + 3.0 * pair
+        Rs.append(pos)
+        Zs.append(Z)
+        Us.append([U])
+        n_nodes.append([n])
+    with h5py.File(path, "w") as f:
+        f["R"] = np.concatenate(Rs).astype(np.float32)
+        f["Z"] = np.concatenate(Zs).astype(np.int64)
+        f["U0"] = np.asarray(Us, np.float32)
+        f["_n_nodes"] = np.asarray(n_nodes, np.int64)
+        f.attrs["R"] = ("node", "1x1o")
+        f.attrs["Z"] = ("node", "1x0e")
+        f.attrs["U0"] = ("graph", "1x0e")
+        f.attrs["_n_nodes"] = ("graph", "1x0e")
+    return str(path)
+
+
+def make_trainer(qm9_file, workdir, num_layers=1, n_dim=8, max_epochs=2):
+    cfg = get_config("config_energy")
+    cfg.batch_size = 8
+    cfg.data_config.n_train = 64
+    cfg.data_config.n_val = 16
+    cfg.data_config.key_map = {
+        "Z": ("species", "atom_types"), "R": "pos", "U0": "total_energy",
+    }
+    from equivariant_nn_zoo_tpu.models.layer_configs import (
+        addEnergyOutput, featureModel,
+    )
+
+    mc = featureModel(
+        n_dim=n_dim, l_max=1, edge_spherical="1x0e+1x1o",
+        node_attrs="4x0e", edge_radial="4x0e", num_types=10, num_layers=num_layers,
+        r_max=4.0,
+    )
+    mc = addEnergyOutput(mc, shifts=[0.0, -16.4, 0, 0, 0, 0, -1036.0,
+                                     -1489.0, -2047.0, 0])
+    model = build(mc)
+    ds = CondensedDataset(
+        path=qm9_file, key_map=dict(cfg.data_config.key_map),
+        preprocess=[partial(computeEdgeIndex, r_max=4.0)],
+        type_names=cfg.data_config.type_names,
+    )
+    tr = Trainer(
+        model=model, workdir=str(workdir), seed=0,
+        data_config=dict(cfg.data_config),
+        loss_coeffs={"total_energy": [1.0, "MSELoss"]},
+        metrics_components={"total_energy": ["mae"]},
+        metric_key="validation_loss",
+        learning_rate=5e-3, optimizer_name="Adam",
+        lr_scheduler_name="ReduceLROnPlateau", lr_scheduler_patience=1,
+        lr_scheduler_factor=0.8, use_ema=True, ema_decay=0.99,
+        max_epochs=max_epochs, batch_size=8,
+        early_stopping_patiences={"validation_loss": 50},
+        log_period=1000,
+    )
+    tr.set_dataset(ds)
+    return tr
+
+
+def test_train_loss_decreases(qm9_file, tmp_path):
+    tr = make_trainer(qm9_file, tmp_path / "wd", max_epochs=3)
+    tr.train()
+    losses = tr.mae_dict
+    assert "validation_loss" in losses
+    assert np.isfinite(losses["validation_loss"])
+    # energy variance of the raw data is huge; after per-species shifts the
+    # model should reach far below it within 3 epochs
+    assert losses["validation_loss"] < 1e4
+    assert os.path.exists(tr.best_model_path)
+    assert os.path.exists(tr.trainer_save_path)
+
+
+def test_resume_restores_state(qm9_file, tmp_path):
+    # simulate preemption: run one epoch of a longer schedule, save, resume
+    tr = make_trainer(qm9_file, tmp_path / "wd1", max_epochs=10)
+    tr.init_metrics()
+    tr.epoch_step()
+    tr.save()
+    from equivariant_nn_zoo_tpu.utils.saveload import finish_all_writes
+
+    finish_all_writes()
+    epoch_before = tr.iepoch
+    best_before = tr.best_metrics
+    params_before = jax.device_get(tr.params)
+
+    tr2 = Trainer.from_file(
+        tr.trainer_save_path, model=tr.model
+    )
+    assert tr2.iepoch == epoch_before
+    assert tr2.best_metrics == pytest.approx(best_before)
+    params_after = jax.device_get(tr2.params)
+    flat1 = jax.tree_util.tree_leaves(params_before)
+    flat2 = jax.tree_util.tree_leaves(params_after)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(a, b)
+    # optimizer state restored
+    lr1 = tr.current_lr
+    assert tr2.current_lr == pytest.approx(lr1)
+
+
+def test_refuse_resume_after_stop(qm9_file, tmp_path):
+    tr = make_trainer(qm9_file, tmp_path / "wd2", max_epochs=1)
+    tr.train()
+    assert tr.stop_arg == "max epochs"
+    tr.save()
+    from equivariant_nn_zoo_tpu.utils.saveload import finish_all_writes
+
+    finish_all_writes()
+    with pytest.raises(RuntimeError, match="properly stopped"):
+        Trainer.from_file(tr.trainer_save_path, model=tr.model)
+
+
+def test_equivariance_test_harness(qm9_file, tmp_path):
+    ds = CondensedDataset(
+        path=qm9_file,
+        key_map={"Z": ("species", "atom_types"), "R": "pos",
+                 "U0": "total_energy"},
+        preprocess=[partial(computeEdgeIndex, r_max=4.0)],
+    )
+    ds.equivarianceTest(4)
+    assert len(ds) == 4
+    assert "_rotation_matrix" in ds.data
+    # all four samples are rotations of sample 0: same species
+    s0 = ds.get(0)
+    s1 = ds.get(1)
+    np.testing.assert_array_equal(s0["species"], s1["species"])
+    # positions are rotated copies: distance matrices match
+    d0 = np.linalg.norm(s0["pos"][:, None] - s0["pos"][None], axis=-1)
+    d1 = np.linalg.norm(s1["pos"][:, None] - s1["pos"][None], axis=-1)
+    np.testing.assert_allclose(d0, d1, atol=1e-4)
+
+
+def test_statistics(qm9_file):
+    ds = CondensedDataset(
+        path=qm9_file,
+        key_map={"Z": ("species", "atom_types"), "R": "pos",
+                 "U0": "total_energy"},
+        type_names=[str(i) for i in range(10)],
+    )
+    (uniq, counts), = ds.statistics(["atom_types-count"])
+    assert set(uniq.tolist()) <= {1, 6, 7, 8}
+    (rms,), = ds.statistics(["pos-rms"])
+    assert rms > 0
+    mean, std = ds.statistics(["total_energy-mean_std"])[0]
+    assert np.isfinite(mean).all()
+    # per-species GP solve recovers the species energies approximately
+    shifts, _ = ds.statistics(["total_energy-per-atom_types-mean_std"])[0]
+    shifts = np.asarray(shifts).reshape(-1)
+    assert abs(shifts[6] - (-1036.0)) < 60
+    assert abs(shifts[1] - (-16.4)) < 60
