@@ -124,6 +124,79 @@ def computeEdgeIndex(data, attrs, r_max: float = None, key: str = "pos",
     return out, attrs
 
 
+def computeEdgeIndexDevice(data, attrs, r_max: float = None, key: str = "pos",
+                           criteria=None):
+    """Device-side (jit-compatible) counterpart of ``computeEdgeIndex`` for
+    use as a *model layer* — e.g. the first layer of the protein diffusion
+    model, which rebuilds the radius graph from current positions on every
+    forward (reference: config_diffusion_CA.py:190-191 + the sampler's
+    edge-popping at sde_sampling.py:237-242).
+
+    The edge capacity is inherited from the incoming ``edge_index`` buffer.
+    ``criteria(data, src_idx, dst_idx, rng_key) -> [N, N] bool`` adds extra
+    edges (e.g. chain neighbors + stochastic long-range).  Overflow beyond
+    capacity drops edges deterministically by pair order.
+    """
+    import jax
+
+    pos = data[key]
+    n = pos.shape[0]
+    edge_capacity = data["edge_index"].shape[-1]
+    node_segment = data["_node_segment"]
+    node_mask = data["_node_mask"]
+    dummy = n - 1
+    extra = None
+    if criteria is not None:
+        rng = data.get("_edge_rng")
+        if rng is None:
+            # deterministic per-step fold of the diffusion time
+            t = data.get("t")
+            salt = (
+                jnp.asarray(t, jnp.float32).reshape(-1)[0] * 1e6
+            ).astype(jnp.int32) if t is not None else jnp.int32(0)
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), salt)
+        src_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        dst_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        extra = criteria(data, src_idx, dst_idx, rng)
+    edge_index, edge_mask, edge_segment = radius_graph_fixed(
+        pos, node_segment, node_mask, edge_capacity, r_max, dummy,
+        extra_mask=extra,
+    )
+    g = data["_graph_mask"].shape[0]
+    n_edges = jax.ops.segment_sum(
+        edge_mask[:, 0].astype(jnp.int32), edge_segment, num_segments=g + 1
+    )[:g][:, None]
+    attrs = dict(attrs)
+    attrs["_n_edges"] = ("graph", "1x0e")
+    out = {
+        "edge_index": edge_index,
+        "_edge_mask": edge_mask,
+        "_edge_segment": edge_segment,
+        "_n_edges": n_edges,
+    }
+    return out, attrs
+
+
+def chain_criteria_device(data, src_idx, dst_idx, rng, window: int = 5,
+                          p_random: float = 0.02):
+    """Device version of the protein edge criteria: same-chain sequence
+    neighbors (|i-j| < window) plus Bernoulli(p_random) long-range edges.
+
+    Reference parity: config_diffusion_CA.py:58-64.
+    """
+    import jax
+
+    chain = data["chain_id"].reshape(-1)
+    idv = data["id"].reshape(-1) if "id" in data else jnp.arange(
+        chain.shape[0]
+    )
+    same_chain = chain[src_idx] == chain[dst_idx]
+    near = jnp.abs(idv[src_idx] - idv[dst_idx]) < window
+    mask = same_chain & near
+    rand = jax.random.uniform(rng, mask.shape) < p_random
+    return mask | rand
+
+
 def radius_graph_fixed(
     pos: jnp.ndarray,
     node_segment: jnp.ndarray,

@@ -165,6 +165,12 @@ class GraphBatch:
             out[: min(len(a), rows)] = a[: min(len(a), rows)]
             return out
 
+        if "edge_index" not in batch.data:
+            # no host-side edges: synthesize empty buffers at capacity so a
+            # device-side edge layer (computeEdgeIndexDevice) can fill them
+            data["edge_index"] = np.full((2, E), dummy, dtype=np.int32)
+            data["_n_edges"] = np.zeros((G, 1), np.int32)
+
         for key, value in batch.data.items():
             if key in ("_node_segment", "_edge_segment"):
                 continue

@@ -218,11 +218,12 @@ def wigner_3j(l1: int, l2: int, l3: int) -> np.ndarray:
         )
         rows.append(m.reshape(n, n))
     m = np.concatenate(rows, axis=0)
-    _, s, vh = np.linalg.svd(m)
-    # singular values sorted desc; the null space is the trailing rows of vh
-    k = int((s < 1e-9).sum())
+    # null space via the symmetric normal matrix — more robust than SVD for
+    # the larger high-l constraint systems (and mathematically identical)
+    w, v = np.linalg.eigh(m.T @ m)
+    k = int((w < 1e-9).sum())
     assert k == 1, f"CG null space dim {k} != 1 for ({l1},{l2},{l3})"
-    c = vh[-1].reshape(d1, d2, d3)
+    c = v[:, 0].reshape(d1, d2, d3)
     # deterministic sign fix
     flat = c.reshape(-1)
     idx = int(np.argmax(np.abs(flat)))

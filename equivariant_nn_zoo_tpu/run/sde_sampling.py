@@ -1,0 +1,248 @@
+"""Predictor-Corrector sampling for the VP-SDE, compiled as one XLA program.
+
+Reference parity: e3_layers/run/sde_sampling.py (C24 in SURVEY.md §2):
+predictor/corrector registries, Euler-Maruyama predictor, Langevin corrector
+(SNR-scaled step), None variants, and the PC loop.  The reference re-computes
+the radius graph every step by popping edge_index/edge_vector
+(sde_sampling.py:237-242); here the recompute happens *inside* the jitted
+step — models whose first layer is the device-side radius graph
+(nn.computeEdgeIndexDevice) rebuild their static-capacity edge list from the
+current positions on every forward, and edge vectors are always rederived
+from positions, so the whole N-step reverse process is a single
+``lax.fori_loop`` on device.
+"""
+
+from __future__ import annotations
+
+import abc
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sde_utils import VPSDE, get_score_fn, _broadcast_t
+
+_CORRECTORS = {}
+_PREDICTORS = {}
+
+
+def register_predictor(cls=None, *, name=None):
+    """Reference parity: sde_sampling.py:17-33."""
+
+    def _register(cls):
+        local_name = cls.__name__ if name is None else name
+        if local_name in _PREDICTORS:
+            raise ValueError(f"Already registered model with name: {local_name}")
+        _PREDICTORS[local_name] = cls
+        return cls
+
+    return _register if cls is None else _register(cls)
+
+
+def register_corrector(cls=None, *, name=None):
+    def _register(cls):
+        local_name = cls.__name__ if name is None else name
+        if local_name in _CORRECTORS:
+            raise ValueError(f"Already registered model with name: {local_name}")
+        _CORRECTORS[local_name] = cls
+        return cls
+
+    return _register if cls is None else _register(cls)
+
+
+def get_predictor(name):
+    return _PREDICTORS[name]
+
+
+def get_corrector(name):
+    return _CORRECTORS[name]
+
+
+class Predictor(abc.ABC):
+    def __init__(self, sde, score_fn):
+        self.sde = sde
+        self.rsde = sde.reverse(score_fn)
+        self.score_fn = score_fn
+
+    @abc.abstractmethod
+    def update_fn(self, batch, key):
+        ...
+
+
+class Corrector(abc.ABC):
+    def __init__(self, sde, score_fn, snr, n_steps):
+        self.sde = sde
+        self.score_fn = score_fn
+        self.snr = snr
+        self.n_steps = n_steps
+
+    @abc.abstractmethod
+    def update_fn(self, batch, key):
+        ...
+
+
+@register_predictor(name="euler_maruyama")
+class EulerMaruyamaPredictor(Predictor):
+    def update_fn(self, batch, key):
+        return self.rsde.sde(batch, key)
+
+
+@register_predictor(name="none")
+class NonePredictor(Predictor):
+    def __init__(self, sde, score_fn):
+        pass
+
+    def update_fn(self, batch, key):
+        return batch
+
+
+@register_corrector(name="langevin")
+class LangevinCorrector(Corrector):
+    """SNR-scaled Langevin MCMC on every diffusion key.
+
+    Reference parity: sde_sampling.py:118-144 (the reference hardcodes the
+    'pos'/'score' keys; this iterates sde.irreps, which is the same thing
+    for the molecule configs and correct for multi-key backbone diffusion).
+    """
+
+    def update_fn(self, batch, key):
+        sde = self.sde
+        if not isinstance(sde, VPSDE):
+            raise NotImplementedError(
+                f"SDE class {type(sde).__name__} not yet supported."
+            )
+        t = _broadcast_t(batch, batch["t"])
+        timestep = ((batch["t"].reshape(-1)[0]) * (sde.N - 1) / sde.T).astype(
+            jnp.int32
+        )
+        alphas = jnp.asarray(sde.alphas, jnp.float32)
+        alpha = alphas[timestep]
+        mask = batch["_node_mask"]
+        for _ in range(self.n_steps):
+            scores = self.score_fn(batch)
+            updates = {}
+            for k in sde.irreps.keys():
+                key, sub = jax.random.split(key)
+                x = batch[k]
+                grad = scores[f"score_{k}"]
+                noise = jax.random.normal(sub, x.shape, x.dtype)
+                nreal = jnp.maximum(jnp.sum(mask), 1.0)
+                grad_norm = (
+                    jnp.sum(jnp.linalg.norm(grad, axis=-1, keepdims=True) * mask)
+                    / nreal
+                )
+                noise_norm = (
+                    jnp.sum(jnp.linalg.norm(noise, axis=-1, keepdims=True) * mask)
+                    / nreal
+                )
+                step_size = (
+                    (self.snr * noise_norm / jnp.maximum(grad_norm, 1e-12)) ** 2
+                    * 2
+                    * alpha
+                )
+                x_mean = x + step_size * grad
+                updates[k] = x_mean + jnp.sqrt(step_size * 2) * noise
+            batch = batch.replace(**updates)
+        return batch
+
+
+@register_corrector(name="none")
+class NoneCorrector(Corrector):
+    def __init__(self, sde, score_fn, snr, n_steps):
+        pass
+
+    def update_fn(self, batch, key):
+        return batch
+
+
+def shared_predictor_update_fn(batch, key, sde, model, params, predictor,
+                               continuous):
+    score_fn = get_score_fn(sde, model, params, train=False)
+    if predictor is None:
+        predictor_obj = NonePredictor(sde, score_fn)
+    else:
+        predictor_obj = predictor(sde, score_fn)
+    return predictor_obj.update_fn(batch, key)
+
+
+def shared_corrector_update_fn(batch, key, sde, model, params, corrector,
+                               continuous, snr, n_steps):
+    score_fn = get_score_fn(sde, model, params, train=False)
+    if corrector is None:
+        corrector_obj = NoneCorrector(sde, score_fn, snr, n_steps)
+    else:
+        corrector_obj = corrector(sde, score_fn, snr, n_steps)
+    return corrector_obj.update_fn(batch, key)
+
+
+def get_pc_sampler(sde: VPSDE, predictor, corrector, inverse_scaler, snr,
+                   n_steps=1, continuous=False, eps=1e-3) -> Callable:
+    """Reference parity: sde_sampling.py:181-246; the N-step reverse loop is
+    one ``lax.fori_loop`` inside jit."""
+
+    def pc_sampler(model, params, batch, key):
+        predictor_update = functools.partial(
+            shared_predictor_update_fn, sde=sde, model=model, params=params,
+            predictor=predictor, continuous=continuous,
+        )
+        corrector_update = functools.partial(
+            shared_corrector_update_fn, sde=sde, model=model, params=params,
+            corrector=corrector, continuous=continuous, snr=snr,
+            n_steps=n_steps,
+        )
+        g = batch["_graph_mask"].shape[0]
+        key, kp = jax.random.split(key)
+        batch = batch.replace(t=jnp.ones((g, 1), jnp.float32))
+        batch.attrs["t"] = ("graph", "1x0e")
+        batch = sde.prior_sampling(batch, kp)
+        timesteps = jnp.linspace(sde.T, eps, sde.N)
+
+        def body(i, carry):
+            data, key = carry
+            b = batch.replace(**data)
+            t = timesteps[i]
+            b = b.replace(t=jnp.ones((g, 1), jnp.float32) * t)
+            key, kc, kpred = jax.random.split(key, 3)
+            b = corrector_update(b, kc)
+            b = predictor_update(b, kpred)
+            return {k: b[k] for k in data}, key
+
+        # stale geometry must be re-derived from positions every iteration
+        # (the reference pops edge_vector/edge_index each step)
+        carry_keys = [
+            k for k in batch.data.keys()
+            if k not in ("edge_vector", "edge_length")
+        ]
+        init = ({k: batch[k] for k in carry_keys}, key)
+        final_data, _ = jax.lax.fori_loop(0, sde.N, body, init)
+        out = batch.replace(**final_data)
+        return out, sde.N * (n_steps + 1)
+
+    return pc_sampler
+
+
+def get_sampling_fn(config, sde, inverse_scaler, eps) -> Callable:
+    """Reference parity: sde_sampling.py:248-286 (the 'ode' sampler of the
+    reference is an unused stub importing externals; 'pc' is the real path)."""
+    sampler_name = config.sampling.method
+    if sampler_name.lower() == "pc":
+        predictor = get_predictor(config.sampling.predictor.lower())
+        corrector = get_corrector(config.sampling.corrector.lower())
+        pc = get_pc_sampler(
+            sde=sde, predictor=predictor, corrector=corrector,
+            inverse_scaler=inverse_scaler, snr=config.sampling.snr,
+            n_steps=config.sampling.n_steps_each,
+            continuous=config.training.continuous, eps=eps,
+        )
+
+        def sampling_fn(model, params, batch, key):
+            out, nfe = pc(model, params, batch, key)
+            host = out.to_batch()
+            if inverse_scaler is not None:
+                host = inverse_scaler(host)
+            return host, nfe
+
+        return sampling_fn
+    raise ValueError(f"Sampler name {sampler_name} unknown.")
