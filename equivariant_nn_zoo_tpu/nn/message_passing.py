@@ -48,6 +48,8 @@ class FactorizedConvolution(Module):
         use_sc=True,
         nonlinearity_scalars: Dict = {"e": "ssp"},
         reduce=True,
+        fused: bool = None,
+        compute_dtype=None,
     ):
         super().__init__()
         self.init_irreps(
@@ -98,8 +100,35 @@ class FactorizedConvolution(Module):
                 ),
             )
 
+        # fused MXU path (see ops/fused_tp.py): available when the feature
+        # multiplicity is uniform and the edge attrs are mul-1 sh
+        import os
+
+        if fused is None:
+            fused = os.environ.get("E3_FUSED", "1") == "1"
+        self.fused_conv = None
+        if fused and reduce:
+            try:
+                from ..ops.fused_tp import FusedUVUConv
+
+                if compute_dtype is None:
+                    compute_dtype = os.environ.get("E3_COMPUTE_DTYPE", "bfloat16")
+                import jax.numpy as _jnp
+
+                cd = dict(
+                    bfloat16=_jnp.bfloat16, float32=_jnp.float32
+                )[str(compute_dtype)]
+                self.fused_conv = FusedUVUConv(self.tp, compute_dtype=cd)
+            except AssertionError:
+                self.fused_conv = None
+
     def apply(self, params, data: Dict, attrs: Dict):
-        weight = self.fc.apply(params["fc"], data["edge_radial"])
+        edge_radial = data["edge_radial"]
+        # masking the radial features zeroes the weights (bias-free MLP) and
+        # therefore every padded-edge message — cheaper than masking messages
+        if "_edge_mask" in data:
+            edge_radial = edge_radial * data["_edge_mask"]
+        weight = self.fc.apply(params["fc"], edge_radial)
         x = data["input_features"]
         edge_src = data["edge_index"][0]
         edge_dst = data["edge_index"][1]
@@ -109,12 +138,27 @@ class FactorizedConvolution(Module):
 
         x = self.linear_1.apply(params["linear_1"], x)
         tp_params = params["tp"]
+        if self.fused_conv is not None:
+            pre = (
+                1.0 / (self.avg_num_neighbors ** 0.5)
+                if self.avg_num_neighbors is not None
+                else None
+            )
+            out = self.fused_conv(
+                tp_params["linear"], x, edge_src, edge_dst,
+                data["edge_spherical"], weight, x.shape[0], pre_scale=pre,
+            )
+            if self.use_sc:
+                out = out + sc
+            is_per = attrs["input_features"][0]
+            return (
+                {"output_features": out},
+                {"output_features": (is_per,
+                                     self.irreps_out["output_features"])},
+            )
         edge_mid = self.tp.tp.apply(
             tp_params["tp"], x[edge_src], data["edge_spherical"], weight
         )
-        # zero padded-edge messages so the dummy-node row stays inert
-        if "_edge_mask" in data:
-            edge_mid = edge_mid * data["_edge_mask"]
         if self.reduce:
             # scatter the *unmixed* TP output, then mix per-node (commutes)
             mid = segment_sum(edge_mid, edge_dst, x.shape[0])

@@ -8,6 +8,7 @@ distributed code without a cluster).
 import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("E3_COMPUTE_DTYPE", "float32")
 
 import jax
 
