@@ -65,8 +65,13 @@ def main():
     loss_obj = Loss(dict(cfg.loss_coeffs))
 
     mols = synthetic_qm9(batch_size * 4, rng)
+    # production-loader capacities: mean * (1.1 + 2/sqrt(B)) headroom
+    n_nodes = [int(np.asarray(m["pos"]).shape[0]) for m in mols]
+    n_edges = [int(np.asarray(m["edge_index"]).shape[-1]) for m in mols]
+    head = 1.1 + 2.0 / (batch_size ** 0.5)
+    node_cap = int(np.ceil(batch_size * np.mean(n_nodes) * head / 128) * 128)
+    edge_cap = int(np.ceil(batch_size * np.mean(n_edges) * head / 128) * 128)
     batches = []
-    node_cap, edge_cap = 2432, 35840
     for b in range(4):
         host = Batch.from_data_list(
             mols[b * batch_size : (b + 1) * batch_size]

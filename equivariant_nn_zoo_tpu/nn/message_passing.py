@@ -107,9 +107,10 @@ class FactorizedConvolution(Module):
         if fused is None:
             fused = os.environ.get("E3_FUSED", "1") == "1"
         self.fused_conv = None
+        self.fused_sc = None
         if fused and reduce:
             try:
-                from ..ops.fused_tp import FusedUVUConv
+                from ..ops.fused_tp import FusedScalarFCTP, FusedUVUConv
 
                 if compute_dtype is None:
                     compute_dtype = os.environ.get("E3_COMPUTE_DTYPE", "bfloat16")
@@ -119,6 +120,11 @@ class FactorizedConvolution(Module):
                     bfloat16=_jnp.bfloat16, float32=_jnp.float32
                 )[str(compute_dtype)]
                 self.fused_conv = FusedUVUConv(self.tp, compute_dtype=cd)
+                if self.use_sc:
+                    try:
+                        self.fused_sc = FusedScalarFCTP(self.sc, compute_dtype=cd)
+                    except AssertionError:
+                        self.fused_sc = None
             except AssertionError:
                 self.fused_conv = None
 
@@ -134,7 +140,10 @@ class FactorizedConvolution(Module):
         edge_dst = data["edge_index"][1]
 
         if self.use_sc:
-            sc = self.sc.apply(params["sc"], x, data["node_attrs"])
+            if self.fused_sc is not None:
+                sc = self.fused_sc.apply(params["sc"], x, data["node_attrs"])
+            else:
+                sc = self.sc.apply(params["sc"], x, data["node_attrs"])
 
         x = self.linear_1.apply(params["linear_1"], x)
         tp_params = params["tp"]

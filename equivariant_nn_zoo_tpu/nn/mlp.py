@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from typing import List
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.gate import normalize2mom
@@ -30,11 +31,21 @@ class FullyConnectedNet:
             for i in range(len(self.dims) - 1)
         }
 
-    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+        import os
+
+        if compute_dtype is None:
+            compute_dtype = os.environ.get("E3_COMPUTE_DTYPE", "bfloat16")
+        cd = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[str(compute_dtype)]
         n = len(self.dims) - 1
+        x = x.astype(cd)
         for i in range(n):
-            w = params[f"w{i}"]
-            x = x @ (w / jnp.sqrt(jnp.asarray(float(self.dims[i]), x.dtype)))
+            w = params[f"w{i}"] / (float(self.dims[i]) ** 0.5)
+            x = jax.lax.dot_general(
+                x, w.astype(cd),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             if i < n - 1:
-                x = self.act(x)
+                x = self.act(x).astype(cd)
         return x
