@@ -36,6 +36,14 @@ from .irreps import Irreps
 from .segment import segment_sum
 from .wigner import wigner_3j
 
+# Per-trace cache of the per-edge CG operator M = sh @ C: layers with the
+# same (input irreps, sh irreps, mid irreps) share an identical C, so M is
+# computed once per step and reused by every such layer (keyed weakly on the
+# sh tracer/array so entries die with the trace).
+import weakref
+
+_M_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 
 class FusedUVUConv:
     """Precomputed fused program for one TensorProductExpansion.
@@ -152,6 +160,33 @@ class FusedUVUConv:
         self.lin_out = {}
         for io, mo in enumerate(self.linear.irreps_out):
             self.lin_out.setdefault(mo.ir, []).append(io)
+        self._struct_key = (
+            repr(irreps_in), repr(irreps_sh), repr(mid_irreps),
+            self.mul, str(np.dtype(self.compute_dtype)),
+        )
+
+    def _get_M(self, sh):
+        """Per-edge CG operator, cached per (sh object, structure)."""
+        cd = self.compute_dtype
+        E = sh.shape[0]
+
+        def compute():
+            return jax.lax.dot_general(
+                sh.astype(cd), self.C_flat.astype(cd),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(E, self.K_dim, self.I_dim).astype(cd)
+
+        try:
+            per_sh = _M_CACHE.get(sh)
+            if per_sh is None:
+                per_sh = {}
+                _M_CACHE[sh] = per_sh
+            if self._struct_key not in per_sh:
+                per_sh[self._struct_key] = compute()
+            return per_sh[self._struct_key]
+        except TypeError:  # sh not weak-referenceable
+            return compute()
 
     def __call__(self, linear_params, x, edge_src, edge_dst, sh, weight,
                  num_nodes: int, pre_scale: Optional[float] = None,
@@ -174,12 +209,8 @@ class FusedUVUConv:
         xT = jnp.concatenate(blocks, axis=1).astype(cd)  # [N, I, mul]
         xTg = xT[edge_src]  # [E, I, mul]
 
-        # per-edge CG operator: one matmul  [E, J] @ [J, K*I]
-        M = jax.lax.dot_general(
-            sh.astype(cd), self.C_flat.astype(cd),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(E, self.K_dim, self.I_dim).astype(cd)
+        # per-edge CG operator (cached across layers with the same structure)
+        M = self._get_M(sh)
 
         # batched matmul: mid[e, K, mul]
         mid = jax.lax.dot_general(

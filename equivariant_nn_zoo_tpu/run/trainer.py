@@ -490,6 +490,7 @@ class Trainer:
                 self.loss_dict[category] = self.loss_stat.current_result()
                 if profiling:
                     jax.profiler.stop_trace()
+                    self._write_profiling_summary()
             self.end_of_epoch_log()
             if self.lr_sched is not None:
                 new_lr = self.lr_sched.step(self.mae_dict[self.metric_key])
@@ -502,6 +503,45 @@ class Trainer:
                 **pruneArgs(CondensedDataset, **dict(data_config))
             )
             self.set_dataset(dataset, validation_dataset=None)
+
+    def _write_profiling_summary(self):
+        """Write top-op tables to profiling.txt (reference parity:
+        trainer.py:486-491 writes torch profiler tables; here the jax trace
+        is aggregated by source line and HLO category).  The raw trace under
+        workdir/profile opens in TensorBoard/Perfetto."""
+        import collections
+        import glob
+        import gzip
+        import json
+        import re
+
+        traces = sorted(glob.glob(
+            os.path.join(self.workdir, "profile", "**", "*.trace.json.gz"),
+            recursive=True,
+        ))
+        if not traces:
+            return
+        try:
+            with gzip.open(traces[-1]) as f:
+                trace = json.load(f)
+        except Exception:  # pragma: no cover
+            return
+        by_src = collections.Counter()
+        by_cat = collections.Counter()
+        for e in trace.get("traceEvents", []):
+            args = e.get("args", {})
+            if e.get("ph") == "X" and "hlo_category" in args:
+                d = int(args.get("device_duration_ps", "0")) / 1e9
+                by_src[args.get("source", "?")] += d
+                by_cat[args["hlo_category"]] += d
+        lines = ["# device time by source line (ms)"]
+        for s, d in by_src.most_common(10):
+            lines.append(f"{d:10.2f}  {s}")
+        lines.append("# device time by HLO category (ms)")
+        for c, d in by_cat.most_common(10):
+            lines.append(f"{d:10.2f}  {c}")
+        with open(os.path.join(self.workdir, "profiling.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
 
     def _set_lr(self, lr: float):
         try:
