@@ -229,18 +229,20 @@ class FusedUVUConv:
             w_idx = [self.path_w_offset[p0 + m] // mul for m in range(n_paths)]
             wg = w3[:, jnp.asarray(w_idx), :]  # [E, n_paths, mul]
             block = block * wg[:, :, None, :]
-            # mix: rows (path m, u) -> out mult, via TPE linear weights
+            # mix: rows (path m, u) -> out mult, via TPE linear weights.
+            # contract u (the minor dim of `block`) with the path index as a
+            # dot_general batch dim — no [E, ...]-scale transpose needed.
             ii = self.lin_in_index[ir]
             for io in self.lin_out.get(ir, []):
                 w_full = linear_params[f"w{ii}_{io}"] * self.linear.alphas[io]
                 rows = self.group_row_perm[g]
-                w_sel = w_full[rows].astype(cd)  # [(n_paths*mul), mul_out]
-                blk = jnp.swapaxes(block, 2, 3).reshape(E, n_paths * mul, d)
+                w_sel = w_full[rows].astype(cd).reshape(n_paths, mul, -1)
                 o = jax.lax.dot_general(
-                    blk, w_sel,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    block, w_sel,
+                    dimension_numbers=(((3,), (1,)), ((1,), (0,))),
                     preferred_element_type=jnp.float32,
-                )  # [E, d, mul_out]
+                )  # [n_paths, E, d, mul_out]
+                o = jnp.sum(o, axis=0)  # [E, d, mul_out]
                 out_blocks.setdefault(io, []).append(o)
         # assemble per-edge output [E, out_dim] in irreps_out order
         outs = []
