@@ -473,7 +473,18 @@ class Trainer:
                 self.n_batches = len(dataset)
                 start = idivision * split_size
                 stop = min((idivision + 1) * split_size, len(dataset))
-                for self.ibatch in range(start, stop):
+                batch_range = range(start, stop)
+                if self.rank == 0:
+                    try:
+                        from tqdm import tqdm
+
+                        batch_range = tqdm(batch_range)
+                        batch_range.set_description(
+                            f"{category} epoch{self.iepoch}-{idivision}"
+                        )
+                    except ImportError:
+                        pass
+                for self.ibatch in batch_range:
                     try:
                         batch = next(iterable)
                     except StopIteration:
