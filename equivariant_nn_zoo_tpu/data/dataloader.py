@@ -78,15 +78,20 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  seed: int = 0, node_capacity: int = None,
                  edge_capacity: int = None, drop_last: bool = True,
-                 prefetch: int = 2, **kwargs):
+                 prefetch: int = 2, num_shards: int = 1, **kwargs):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.collater = Collater.for_dataset(dataset)
+        self.num_shards = num_shards
+        if num_shards > 1:
+            assert batch_size % num_shards == 0, (
+                "batch_size must divide evenly across shards"
+            )
         if node_capacity is None or edge_capacity is None:
             node_capacity, edge_capacity = estimate_capacities(
-                dataset, batch_size
+                dataset, batch_size // num_shards, multiple=128
             )
         self.node_capacity = node_capacity
         self.edge_capacity = edge_capacity
@@ -102,17 +107,34 @@ class DataLoader:
 
     def _make_batch(self, indices) -> GraphBatch:
         items = [self.dataset[int(i)] for i in indices]
-        host = self.collater(items)
-        gb = GraphBatch.from_batch(
-            host, self.node_capacity, self.edge_capacity, self.batch_size
-        )
-        if gb.dropped:
-            self.dropped_graphs += gb.dropped
+        if self.num_shards > 1:
+            # one padded sub-batch per device, stacked on a leading axis
+            from ..parallel.data_parallel import stack_shards
+
+            per = self.batch_size // self.num_shards
+            shards = []
+            dropped = 0
+            for s in range(self.num_shards):
+                host = self.collater(items[s * per : (s + 1) * per])
+                gb = GraphBatch.from_batch(
+                    host, self.node_capacity, self.edge_capacity, per
+                )
+                dropped += gb.dropped
+                shards.append(gb)
+            out = stack_shards(shards)
+            out.dropped = dropped
+        else:
+            host = self.collater(items)
+            out = GraphBatch.from_batch(
+                host, self.node_capacity, self.edge_capacity, self.batch_size
+            )
+        if out.dropped:
+            self.dropped_graphs += out.dropped
             logging.warning(
-                f"batch overflowed static capacities; dropped {gb.dropped} "
+                f"batch overflowed static capacities; dropped {out.dropped} "
                 f"graphs (total {self.dropped_graphs})"
             )
-        return gb
+        return out
 
     def _index_batches(self):
         order = np.arange(len(self.dataset))

@@ -77,12 +77,12 @@ def make_dp_loss_fn(model, loss_obj, mesh: Mesh, axis: str = "dp") -> Callable:
         contrib = {k: jax.lax.pmean(v, axis) for k, v in contrib.items()}
         return loss, contrib
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     specs_in = (P(), P(axis))
     sharded = shard_map(
         local_loss, mesh=mesh, in_specs=specs_in, out_specs=(P(), P()),
-        check_rep=False,
+        
     )
     return sharded
 

@@ -30,10 +30,13 @@ def _elementwise(func_name: str, pred, ref):
 
 
 def _mask_for(key: str, ref: Dict):
-    """Pick the padding mask matching the key's per-ness."""
-    n = ref[key].shape[0] if key in ref else None
+    """Pick the padding mask matching the key's per-ness (works for plain
+    [cat, d] and device-stacked [D, cat, d] batches)."""
+    if key not in ref:
+        return None
+    lead = ref[key].shape[:-1]
     for mk in ("_graph_mask", "_node_mask", "_edge_mask"):
-        if mk in ref and ref[mk].shape[0] == n:
+        if mk in ref and ref[mk].shape[:-1] == lead:
             return ref[mk]
     return None
 
@@ -75,7 +78,7 @@ class PerAtomLoss(SimpleLoss):
 
     def __call__(self, pred: dict, ref: dict, key: str, mean: bool = True):
         loss, not_nan = self.raw(pred, ref, key)
-        N = ref["_n_nodes"].reshape(-1, 1).astype(loss.dtype)
+        N = ref["_n_nodes"].reshape(loss.shape[:-1] + (1,)).astype(loss.dtype)
         N = jnp.maximum(N, 1.0)
         loss = loss / N
         if self.func_name == "MSELoss":

@@ -151,7 +151,9 @@ class Metrics:
                     )
                 error_n = error
                 if params["PerAtom"]:
-                    N = ref["_n_nodes"].reshape(-1, 1).astype(error.dtype)
+                    N = ref["_n_nodes"].reshape(
+                        error.shape[:-1] + (1,)
+                    ).astype(error.dtype)
                     error_n = error / jnp.maximum(N, 1.0)
                 metrics[(key, param_hash)] = stat.accumulate_batch(
                     error_n, weights, accumulate_by=accumulate_by

@@ -257,11 +257,46 @@ class Trainer:
             keep = {k: v for k, v in out_data.items() if k in out_keys}
             return keep
 
+        if self.mesh is not None:
+            # data-parallel: per-device sub-batches via shard_map; gradients
+            # of the replicated params are psum'd by shard_map's transpose —
+            # the DDP all-reduce, compiled into the step.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.data_parallel import _local_batch
+
+            mesh, axis = self.mesh, "dp"
+
+            def local_forward(params, stacked):
+                batch = _local_batch(stacked)
+                out = model.apply(params, batch)
+                loss, contrib = loss_obj(out.data, batch.data)
+                loss = jax.lax.pmean(loss, axis)
+                contrib = {
+                    k: jax.lax.pmean(v, axis) for k, v in contrib.items()
+                }
+                sel = {k: v[None] for k, v in select(out.data, batch).items()}
+                return loss, contrib, sel
+
+            def forward(params, stacked):
+                return shard_map(
+                    local_forward, mesh=mesh,
+                    in_specs=(P(), P(axis)),
+                    out_specs=(P(), P(), P(axis)),
+                    
+                )(params, stacked)
+        else:
+
+            def forward(params, batch):
+                out = model.apply(params, batch)
+                loss, contrib = loss_obj(out.data, batch.data)
+                return loss, contrib, select(out.data, batch)
+
         def train_step(params, opt_state, ema, batch):
             def loss_fn(p):
-                out = model.apply(p, batch)
-                loss, contrib = loss_obj(out.data, batch.data)
-                return loss, (select(out.data, batch), contrib)
+                loss, contrib, out = forward(p, batch)
+                return loss, (out, contrib)
 
             (loss, (out, contrib)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -273,13 +308,9 @@ class Trainer:
             return params, opt_state, ema, loss, contrib, out
 
         def eval_step(params, batch):
-            out = model.apply(params, batch)
-            loss, contrib = loss_obj(out.data, batch.data)
-            return loss, contrib, select(out.data, batch)
+            loss, contrib, out = forward(params, batch)
+            return loss, contrib, out
 
-        # With a mesh, params are replicated and batches arrive sharded on
-        # their leading axes (parallel.shard_graph_batch); jit honors the
-        # committed input shardings and XLA inserts the gradient all-reduce.
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(eval_step)
 
@@ -287,6 +318,10 @@ class Trainer:
         """Reference parity: trainer.py:358-399."""
         if self._train_step is None:
             self._build_steps()
+        if self.mesh is not None:
+            from ..parallel.data_parallel import put_sharded
+
+            data = put_sharded(data, self.mesh)
         if validation:
             params = self.ema["params"] if self.use_ema else self.params
             loss, contrib, out = self._eval_step(params, data)
@@ -394,8 +429,9 @@ class Trainer:
         self.dataset_train = dataset.index_select(self.train_idcs)
         self.dataset_val = validation_dataset.index_select(self.val_idcs)
 
+        num_shards = 1 if self.mesh is None else int(self.mesh.devices.size)
         node_cap, edge_cap = estimate_capacities(
-            self.dataset_train, self.batch_size
+            self.dataset_train, self.batch_size // num_shards
         )
         dl_kwargs = dict(
             batch_size=self.batch_size,
@@ -403,6 +439,7 @@ class Trainer:
             edge_capacity=edge_cap,
             drop_last=True,
             seed=self.loader_rng_seed,
+            num_shards=num_shards,
         )
         self.dl_train = DataLoader(
             self.dataset_train, shuffle=data_config.get("shuffle", True),
