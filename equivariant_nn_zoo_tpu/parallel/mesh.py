@@ -42,39 +42,3 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp",
 
 def replicated_spec(mesh: Mesh):
     return NamedSharding(mesh, PartitionSpec())
-
-
-def shard_batch_spec(mesh: Mesh, axis: str = "dp"):
-    """Shard every array leaf of a GraphBatch on its leading axis."""
-    leading = NamedSharding(mesh, PartitionSpec(axis))
-
-    def spec_for(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
-            return leading
-        return NamedSharding(mesh, PartitionSpec())
-
-    return spec_for
-
-
-def shard_graph_batch(batch, mesh: Mesh, axis: str = "dp"):
-    """Device_put a GraphBatch so leading axes are sharded over the mesh.
-
-    ``edge_index`` is [2, E] — sharded on its last axis instead.
-    """
-    n = mesh.devices.size
-    data = {}
-    for key, value in batch.data.items():
-        value = np.asarray(value)
-        if key == "edge_index":
-            spec = PartitionSpec(None, axis) if value.shape[-1] % n == 0 else (
-                PartitionSpec()
-            )
-        elif value.ndim >= 1 and value.shape[0] % n == 0:
-            spec = PartitionSpec(axis)
-        else:
-            spec = PartitionSpec()
-        data[key] = jax.device_put(value, NamedSharding(mesh, spec))
-    return type(batch)(
-        data, dict(batch.attrs), batch.n_graphs, batch.node_capacity,
-        batch.edge_capacity,
-    )
