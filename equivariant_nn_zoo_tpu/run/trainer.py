@@ -253,9 +253,16 @@ class Trainer:
         use_ema = self.use_ema
         ema_update = self._ema_update
 
+        equivariance_test = self.equivariance_test
+
         def select(out_data, batch):
-            keep = {k: v for k, v in out_data.items() if k in out_keys}
-            return keep
+            if equivariance_test:
+                # the equivariance check needs every annotated output
+                return {
+                    k: v for k, v in out_data.items()
+                    if k in out_keys or not k.startswith("_")
+                }
+            return {k: v for k, v in out_data.items() if k in out_keys}
 
         if self.mesh is not None:
             # data-parallel: per-device sub-batches via shard_map; gradients

@@ -324,10 +324,11 @@ def _numpyify(tree):
 # ------------------------------------------------------------- checkpoints
 
 
-def save_checkpoint(state: dict, path: str, blocking: bool = False):
+def save_checkpoint(path: str, state: dict, blocking: bool = False):
     """Save a flat training-state dict (params/opt/ema/step/rng pytrees).
 
-    Reference parity: saveload.py:447-454.
+    Reference parity: saveload.py:447-454 (same (path, state) argument order
+    as the reference's ``save_checkpoint(ckpt_dir, state)``).
     """
     save_file(state, path, enforced_format="pickle", blocking=blocking)
     return path

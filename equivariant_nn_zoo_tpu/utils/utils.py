@@ -101,13 +101,20 @@ def replace(lst, key, item):
 
 def getScaler(operations):
     """Batch normalizer for diffusion training: scaling, shifting by another
-    key, or mean-centering per graph.  Works on host Batch objects.
+    key, or mean-centering per graph.
 
     Reference parity: utils.py:15-47.
     Example args: [('N', ('shift', 'CA', -1)), ('CA', ('scale', 25))]
+
+    Works on host Batch objects AND on device GraphBatches (jit-compatible,
+    mask-aware) — diffusion training never round-trips to host.
     """
 
     def scaler(batch):
+        from ..data.graph_batch import GraphBatch
+
+        if isinstance(batch, GraphBatch):
+            return _device_scale(batch, operations)
         batch = batch.clone()
         node_segment = batch.nodeSegment()
         for key, op in operations:
@@ -132,6 +139,44 @@ def getScaler(operations):
         return batch
 
     return scaler
+
+
+def _device_scale(batch, operations):
+    """jit-compatible GraphBatch version of getScaler's operations."""
+    import jax
+    import jax.numpy as jnp
+
+    updates = {}
+
+    def cur(k):
+        return updates.get(k, batch[k])
+
+    for key, op in operations:
+        if op[0] == "scale":
+            keys = key if isinstance(key, (tuple, list)) else [key]
+            for k in keys:
+                updates[k] = cur(k) * op[1]
+        elif op[0] == "shift":
+            if op[1] == "mean":
+                seg = batch["_node_segment"]
+                mask = batch["_node_mask"]
+                g = batch["_graph_mask"].shape[0]
+                x = cur(key) * mask
+                sums = jax.ops.segment_sum(x, seg, num_segments=g + 1)[:-1]
+                counts = jax.ops.segment_sum(
+                    mask[:, 0], seg, num_segments=g + 1
+                )[:-1]
+                center = sums / jnp.maximum(counts, 1.0)[:, None]
+                centered = cur(key) - center[jnp.clip(seg, 0, g - 1)]
+                updates[key] = centered * mask
+            elif op[1] in updates or op[1] in batch.keys():
+                sign = op[2] if len(op) == 3 else 1
+                updates[key] = cur(key) + sign * cur(op[1])
+            else:
+                raise ValueError(f"unknown shift target {op[1]!r}")
+        else:
+            raise ValueError(f"unknown scaler op {op[0]!r}")
+    return batch.replace(**updates)
 
 
 def countParameters(params) -> int:

@@ -210,3 +210,32 @@ def test_bincount_per_graph():
     batch = np.array([0, 0, 1, 1, 1])
     out = bincount(types, batch, minlength=3)
     np.testing.assert_array_equal(out, [[1, 1, 0], [1, 1, 1]])
+
+
+def test_device_scaler_matches_host():
+    from equivariant_nn_zoo_tpu.data import Batch, Data, GraphBatch
+
+    rng = np.random.default_rng(0)
+    mols = []
+    for _ in range(3):
+        n = int(rng.integers(3, 6))
+        mols.append(Data(
+            {"CA": ("node", "1x1o"), "C": ("node", "1x1o"),
+             "y": ("graph", "1x0e")},
+            CA=rng.normal(size=(n, 3)), C=rng.normal(size=(n, 3)),
+            y=rng.normal(size=(1, 1)),
+        ))
+    host = Batch.from_data_list(mols)
+    gb = GraphBatch.from_batch(Batch.from_data_list([m.clone() for m in mols]),
+                               24, 32, 3)
+    ops = [("C", ("shift", "CA", -1)), ("CA", ("shift", "mean")),
+           (["CA", "C"], ("scale", 0.25))]
+    scaler = getScaler(ops)
+    out_host = scaler(host)
+    out_dev = scaler(gb).to_batch()
+    np.testing.assert_allclose(np.asarray(out_dev["CA"]),
+                               np.asarray(out_host["CA"]), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_dev["C"]),
+                               np.asarray(out_host["C"]), rtol=1e-5,
+                               atol=1e-6)

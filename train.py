@@ -83,7 +83,14 @@ def train_regression(config, FLAGS):
     )
     dataset = CondensedDataset(**pruneArgs(CondensedDataset, **data_config))
     if FLAGS.equivariance_test:
-        dataset.equivarianceTest(config.batch_size)
+        # the dataset becomes batch_size*2 rotated copies of one sample
+        # (reference mechanism, dataset.py:123-137); resize the split to fit
+        dataset.equivarianceTest(config.batch_size * 2)
+        trainer.data_config = dict(trainer.data_config)
+        trainer.data_config.update(
+            n_train=config.batch_size, n_val=config.batch_size,
+            train_val_split="sequential",
+        )
     trainer.set_dataset(dataset, validation_dataset=None)
     if jax.process_index() == 0:
         trainer.save()
@@ -198,11 +205,7 @@ def train_diffusion(e3_config, FLAGS):
         except ImportError:
             use_wandb = False
     for step in range(initial_step, num_train_steps + 1):
-        gb = next(train_iter)
-        host = gb.to_batch()
-        host = scaler(host)
-        gb = type(gb).from_batch(host, gb.node_capacity, gb.edge_capacity,
-                                 gb.n_graphs)
+        gb = scaler(next(train_iter))  # device-side scaling (GraphBatch path)
         state, loss, losses = train_step_fn(state, gb)
         loss_lst.append({k: float(v) for k, v in losses.items()})
 
@@ -220,10 +223,7 @@ def train_diffusion(e3_config, FLAGS):
             loss_lst = []
 
         if step % FLAGS.eval_period == 0:
-            egb = next(eval_iter)
-            ehost = scaler(egb.to_batch())
-            egb = type(egb).from_batch(ehost, egb.node_capacity,
-                                       egb.edge_capacity, egb.n_graphs)
+            egb = scaler(next(eval_iter))
             state, _, eval_losses = eval_step_fn(state, egb)
             eval_loss_lst.append({k: float(v) for k, v in eval_losses.items()})
 
