@@ -223,10 +223,84 @@ def get_pc_sampler(sde: VPSDE, predictor, corrector, inverse_scaler, snr,
     return pc_sampler
 
 
+def get_ode_sampler(sde: VPSDE, inverse_scaler, denoise: bool = True,
+                    eps: float = 1e-3, n_steps: int = None) -> Callable:
+    """Probability-flow ODE sampler (deterministic reverse dynamics):
+    dx = [f(x,t) - 1/2 g(t)^2 score(x,t)] dt, integrated with Heun's method.
+
+    The reference's ODE path is a stub importing external score_sde code
+    (sde_sampling.py:263-271); this is a self-contained working version.
+    """
+
+    def ode_sampler(model, params, batch, key):
+        n = n_steps or sde.N
+        score_fn = get_score_fn(sde, model, params, train=False)
+        g = batch["_graph_mask"].shape[0]
+        key, kp = jax.random.split(key)
+        batch = batch.replace(t=jnp.ones((g, 1), jnp.float32))
+        batch.attrs["t"] = ("graph", "1x0e")
+        batch = sde.prior_sampling(batch, kp)
+        timesteps = jnp.linspace(sde.T, eps, n)
+        dt = -(sde.T - eps) / (n - 1)
+
+        def drift(b):
+            scores = score_fn(b)
+            t = _broadcast_t(b, b["t"])
+            beta_t = sde.beta_0 + t * (sde.beta_1 - sde.beta_0)
+            out = {}
+            for k in sde.irreps:
+                out[k] = (
+                    -0.5 * beta_t * b[k]
+                    - 0.5 * beta_t * scores[f"score_{k}"]
+                )
+            return out
+
+        def body(i, data):
+            b = batch.replace(**data)
+            t = timesteps[i]
+            b = b.replace(t=jnp.ones((g, 1), jnp.float32) * t)
+            d1 = drift(b)
+            # Heun: evaluate drift at the Euler-predicted point
+            b_pred = b.replace(
+                **{k: b[k] + dt * d1[k] for k in sde.irreps},
+                t=jnp.ones((g, 1), jnp.float32) * (t + dt),
+            )
+            d2 = drift(b_pred)
+            return {
+                k: (b[k] + 0.5 * dt * (d1[k] + d2[k])) if k in sde.irreps
+                else data[k]
+                for k in data
+            }
+
+        carry_keys = [
+            k for k in batch.data.keys()
+            if k not in ("edge_vector", "edge_length")
+        ]
+        init = {k: batch[k] for k in carry_keys}
+        final = jax.lax.fori_loop(0, n - 1, body, init)
+        out = batch.replace(**final)
+        return out, 2 * (n - 1)
+
+    return ode_sampler
+
+
 def get_sampling_fn(config, sde, inverse_scaler, eps) -> Callable:
-    """Reference parity: sde_sampling.py:248-286 (the 'ode' sampler of the
-    reference is an unused stub importing externals; 'pc' is the real path)."""
+    """Reference parity: sde_sampling.py:248-286."""
     sampler_name = config.sampling.method
+    if sampler_name.lower() == "ode":
+        ode = get_ode_sampler(
+            sde=sde, inverse_scaler=inverse_scaler,
+            denoise=config.sampling.noise_removal, eps=eps,
+        )
+
+        def sampling_fn(model, params, batch, key):
+            out, nfe = ode(model, params, batch, key)
+            host = out.to_batch()
+            if inverse_scaler is not None:
+                host = inverse_scaler(host)
+            return host, nfe
+
+        return sampling_fn
     if sampler_name.lower() == "pc":
         predictor = get_predictor(config.sampling.predictor.lower())
         corrector = get_corrector(config.sampling.corrector.lower())

@@ -166,3 +166,23 @@ def test_radius_graph_fixed_matches_host():
     # padded entries all point at the dummy node
     ei_np = np.asarray(ei)
     assert np.all(ei_np[:, kept:] == n - 1)
+
+
+def test_ode_sampler(diffusion_model):
+    from equivariant_nn_zoo_tpu.run.sde_sampling import get_ode_sampler
+
+    cfg, model, params = diffusion_model
+    sde = VPSDE(dict(cfg.diffusion_keys), N=50)
+    gb = diffusion_batch()
+    ode = get_ode_sampler(sde, None, eps=1e-3, n_steps=8)
+    out, nfe = jax.jit(lambda p, b, k: ode(model, p, b, k))(
+        params, gb, jax.random.PRNGKey(4)
+    )
+    assert nfe == 14
+    assert bool(jnp.all(jnp.isfinite(out["pos"])))
+    # deterministic given the prior draw: same key -> same samples
+    out2, _ = jax.jit(lambda p, b, k: ode(model, p, b, k))(
+        params, gb, jax.random.PRNGKey(4)
+    )
+    np.testing.assert_allclose(np.asarray(out["pos"]),
+                               np.asarray(out2["pos"]), atol=1e-5)
