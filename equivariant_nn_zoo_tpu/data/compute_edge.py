@@ -17,7 +17,7 @@ For recomputing edges *inside* a jitted sampler step (diffusion), see
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

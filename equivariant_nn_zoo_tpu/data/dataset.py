@@ -17,7 +17,6 @@ from inspect import signature
 import numpy as np
 
 from .batch import Batch
-from .data import Data
 from ..ops.irreps import Irreps
 from ..ops.wigner import irreps_d, rand_matrix
 from ..utils.statistics import bincount, solver

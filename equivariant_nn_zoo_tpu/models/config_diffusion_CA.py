@@ -26,7 +26,7 @@ from ..nn import (
     symmetric_cutoff,
 )
 from ..utils.saveload import saveProtein
-from ..utils.utils import default_type_names, getScaler, insertAfter, replace
+from ..utils.utils import getScaler, insertAfter, replace
 from .protein_utils import crop, masked2indexed
 
 

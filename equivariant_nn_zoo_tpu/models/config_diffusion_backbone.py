@@ -24,7 +24,7 @@ from ..nn import (
     symmetric_cutoff,
 )
 from ..utils.saveload import saveProtein
-from ..utils.utils import default_type_names, getScaler, insertAfter, replace
+from ..utils.utils import getScaler, insertAfter, replace
 from .layer_configs import featureModel
 from .protein_utils import crop, masked2indexed
 

@@ -22,8 +22,6 @@ from __future__ import annotations
 
 from typing import Dict
 
-import jax.numpy as jnp
-
 from .mlp import FullyConnectedNet
 from .module import Module
 from .pointwise import LayerNormalization, TensorProductExpansion

@@ -17,7 +17,7 @@ SequentialGraphNetwork induces an arbitrary DAG from key matching.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

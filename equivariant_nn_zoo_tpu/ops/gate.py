@@ -14,7 +14,7 @@ from typing import Callable, Dict, List
 import jax
 import jax.numpy as jnp
 
-from .irreps import Irrep, Irreps
+from .irreps import Irreps
 
 
 def shifted_softplus(x):

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
-from .loss import _elementwise, _mask_for, find_loss_function
+from .loss import find_loss_function
 
 metrics_to_reduction = {"mae": "mean", "mean": "mean", "rmse": "rms"}
 

@@ -10,8 +10,6 @@ program per step, no host round-trips.
 
 from __future__ import annotations
 
-import logging
-from functools import partial
 from typing import Callable, Dict
 
 import jax
