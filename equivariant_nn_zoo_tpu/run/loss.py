@@ -213,7 +213,10 @@ class RunningScalar:
     def current_result(self):
         if not self.values:
             return 0.0
-        return float(np.mean([float(v) for v in self.values]))
+        import jax.numpy as jnp
+
+        # one device reduction + one transfer instead of per-batch floats
+        return float(jnp.mean(jnp.stack([jnp.asarray(v) for v in self.values])))
 
 
 class LossStat:
@@ -230,14 +233,16 @@ class LossStat:
                 self.ignore_nan[key] = getattr(func, "ignore_nan", False)
 
     def __call__(self, loss, loss_contrib):
+        # keep device scalars — never force a sync inside the train loop
+        # (conversion happens lazily at logging/result time)
         results = {}
         self.loss_stat["total"].accumulate(loss)
-        results["loss"] = float(loss)
+        results["loss"] = loss
         for k, v in loss_contrib.items():
             if k not in self.loss_stat:
                 self.loss_stat[k] = RunningScalar()
             self.loss_stat[k].accumulate(v)
-            results["loss_" + k] = float(v)
+            results["loss_" + k] = v
         return results
 
     def reset(self):

@@ -61,8 +61,9 @@ class RunningStats:
     def current_result(self):
         if not self._sums:
             return np.float32(0.0)
-        s = np.sum([np.asarray(x, np.float64) for x in self._sums], axis=0)
-        c = np.sum([np.asarray(x, np.float64) for x in self._counts], axis=0)
+        # reduce on device, transfer once
+        s = np.asarray(jnp.sum(jnp.stack(self._sums), axis=0), np.float64)
+        c = np.asarray(jnp.sum(jnp.stack(self._counts), axis=0), np.float64)
         out = s / np.maximum(c, 1.0)
         if self.reduction == "rms":
             out = np.sqrt(out)

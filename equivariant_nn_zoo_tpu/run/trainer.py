@@ -626,7 +626,7 @@ class Trainer:
     def end_of_batch_log(self, batch_type: str):
         log_str = f"  {self.iepoch+1:5d} {self.ibatch+1:5d}"
         for name, value in self.batch_losses.items():
-            log_str += f" {value:12.3g}"
+            log_str += f" {float(value):12.3g}"
         self.logger.info(f"{batch_type} {log_str}")
 
     def end_of_epoch_log(self):
