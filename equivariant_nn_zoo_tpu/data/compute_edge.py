@@ -158,7 +158,7 @@ def computeEdgeIndexDevice(data, attrs, r_max: float = None, key: str = "pos",
         src_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         dst_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         extra = criteria(data, src_idx, dst_idx, rng)
-    edge_index, edge_mask, edge_segment = radius_graph_fixed(
+    edge_index, edge_mask, edge_segment, n_candidates = radius_graph_fixed(
         pos, node_segment, node_mask, edge_capacity, r_max, dummy,
         extra_mask=extra,
     )
@@ -168,11 +168,18 @@ def computeEdgeIndexDevice(data, attrs, r_max: float = None, key: str = "pos",
     )[:g][:, None]
     attrs = dict(attrs)
     attrs["_n_edges"] = ("graph", "1x0e")
+    attrs["_edge_overflow"] = ("graph", "1x0e")
     out = {
         "edge_index": edge_index,
         "_edge_mask": edge_mask,
         "_edge_segment": edge_segment,
         "_n_edges": n_edges,
+        # edges silently dropped when candidates exceeded the static buffer —
+        # monitor this (should be 0; raise data_config.edge_capacity if not)
+        "_edge_overflow": (
+            jnp.maximum(n_candidates - edge_capacity, 0).astype(jnp.int32)
+            * jnp.ones((g, 1), jnp.int32)
+        ),
     }
     return out, attrs
 
@@ -236,4 +243,5 @@ def radius_graph_fixed(
     edge_mask = ok.astype(jnp.float32)[:, None]
     # the dummy node always belongs to the padding segment
     edge_segment = node_segment[src].astype(jnp.int32)
-    return edge_index, edge_mask, edge_segment
+    n_candidates = jnp.sum(flat.astype(jnp.int32))
+    return edge_index, edge_mask, edge_segment, n_candidates

@@ -234,6 +234,10 @@ def getDataIters(config, seed: int = 0, process_index: int = 0,
     eval_ds = dataset.index_select(idcs[n_train : n_train + n_val])
 
     node_cap, edge_cap = estimate_capacities(train_ds, config.batch_size)
+    # explicit capacity overrides (needed when edges are built on device and
+    # the host data carries none — e.g. protein diffusion configs)
+    node_cap = data_config.get("node_capacity") or node_cap
+    edge_cap = data_config.get("edge_capacity") or edge_cap
     dl_kwargs = dict(
         batch_size=config.batch_size,
         node_capacity=node_cap,

@@ -106,7 +106,12 @@ class CondensedDataset(Batch):
             data = self.get(int(idx)).clone()
             for func in self.preprocess:
                 sig = signature(func)
-                if len(sig.parameters) == 1:
+                required = [
+                    p for p in sig.parameters.values()
+                    if p.default is p.empty
+                    and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                ]
+                if len(required) == 1:
                     data = func(data)
                 else:
                     tensors, attrs = func(data.data, data.attrs)

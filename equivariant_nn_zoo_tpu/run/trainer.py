@@ -440,6 +440,8 @@ class Trainer:
         node_cap, edge_cap = estimate_capacities(
             self.dataset_train, self.batch_size // num_shards
         )
+        node_cap = data_config.get("node_capacity") or node_cap
+        edge_cap = data_config.get("edge_capacity") or edge_cap
         dl_kwargs = dict(
             batch_size=self.batch_size,
             node_capacity=node_cap,
@@ -453,6 +455,11 @@ class Trainer:
             **dl_kwargs,
         )
         self.dl_val = DataLoader(self.dataset_val, shuffle=False, **dl_kwargs)
+        # restore the loader RNG stream on resume (reference restores all
+        # four RNG streams, trainer.py:836-840)
+        if getattr(self, "_loader_state", None) is not None:
+            self.dl_train.load_state_dict(self._loader_state)
+            self._loader_state = None
 
     # ------------------------------------------------------------- training
 

@@ -42,7 +42,7 @@ class E3Calculator:
             import jax.numpy as jnp
 
             dummy = pos.shape[0] - 1
-            ei, emask, eseg = radius_graph_fixed(
+            ei, emask, eseg, _ = radius_graph_fixed(
                 pos, node_segment, node_mask, self.edge_capacity, self.r_max,
                 dummy,
             )

@@ -156,7 +156,7 @@ def test_radius_graph_fixed_matches_host():
     pos = jnp.asarray(RNG.normal(size=(n, 3)) * 1.5, jnp.float32)
     seg = jnp.zeros((n,), jnp.int32).at[n - 1].set(1)  # last is dummy
     mask = jnp.ones((n, 1), jnp.float32).at[n - 1].set(0.0)
-    ei, emask, eseg = radius_graph_fixed(pos, seg, mask, 256, 2.5, n - 1)
+    ei, emask, eseg, n_cand = radius_graph_fixed(pos, seg, mask, 256, 2.5, n - 1)
     kept = int(emask.sum())
     # host-side count of the same edges
     p = np.asarray(pos)[: n - 1]
