@@ -186,3 +186,38 @@ def test_ode_sampler(diffusion_model):
     )
     np.testing.assert_allclose(np.asarray(out["pos"]),
                                np.asarray(out2["pos"]), atol=1e-5)
+
+
+def test_sde_checkpoint_resume(diffusion_model, tmp_path):
+    """Diffusion state save/restore: params, EMA, step, rng survive."""
+    from equivariant_nn_zoo_tpu.utils.saveload import (
+        finish_all_writes,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg, model, params = diffusion_model
+    sde = VPSDE(dict(cfg.diffusion_keys), N=50)
+    gb = diffusion_batch()
+    optimizer = optax.adam(1e-3)
+    state = init_sde_state(params, optimizer, jax.random.PRNGKey(1))
+    step = get_step_fn(sde, True, model=model, optimizer=optimizer)
+    for _ in range(3):
+        state, loss, _ = step(state, gb)
+    path = str(tmp_path / "ckpt.pth")
+    save_checkpoint(path, state, blocking=True)
+    finish_all_writes()
+
+    restored = restore_checkpoint(path, None)
+    assert int(restored["step"]) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state["params"])),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_array_equal(a, b)
+    # missing file returns the input state gracefully
+    same = restore_checkpoint(str(tmp_path / "nope.pth"), state)
+    assert same is state
+    # training continues from the restored state
+    restored = jax.device_put(restored)
+    restored, loss, _ = step(restored, gb)
+    assert int(restored["step"]) == 4
+    assert np.isfinite(float(loss))
