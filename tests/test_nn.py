@@ -219,3 +219,33 @@ def test_batch_roundtrip():
     # edge_index rebased identically
     np.testing.assert_array_equal(back.get(1)["edge_index"],
                                   sub.get(0)["edge_index"])
+
+
+def test_force_training_double_grad(small_batch):
+    """Training on forces differentiates through jax.grad (double backprop)
+    — must work through the fused conv path and stay finite."""
+    import optax
+
+    cfg = get_config("config_energy")
+    cfg.model_config.num_layers = 1
+    force_cfg = addForceOutput(cfg.model_config)
+    model = build(force_cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    gb = small_batch
+    target_f = jnp.zeros((64, 3))
+    target_e = jnp.zeros((4, 1))
+
+    def loss_fn(p):
+        out = model.apply(p, gb)
+        mask = gb["_node_mask"]
+        lf = jnp.sum(((out["forces"] - target_f) ** 2) * mask)
+        le = jnp.sum((out["total_energy"] - target_e) ** 2 * gb["_graph_mask"])
+        return lf + 1e-6 * le
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+    # at least some force-gradient signal reaches the conv weights
+    total = sum(float(jnp.abs(g).sum()) for g in leaves)
+    assert total > 0
