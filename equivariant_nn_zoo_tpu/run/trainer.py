@@ -607,7 +607,14 @@ class Trainer:
 
     def _set_lr(self, lr: float):
         try:
-            self._hyper_path(self.opt_state)["learning_rate"] = lr
+            # keep the exact aval (weak-typed f32 array) of the original
+            # hyperparam — writing a python float would change the pytree
+            # leaf type and force a recompile of the whole train step
+            hp = self._hyper_path(self.opt_state)
+            # match the stored leaf's aval exactly (strong f32 scalar) —
+            # any aval change here would retrace the whole train step
+            old = hp["learning_rate"]
+            hp["learning_rate"] = jnp.full_like(old, lr)
         except (TypeError, KeyError, IndexError):  # pragma: no cover
             self.logger.warning("could not inject LR into optimizer state")
 

@@ -182,3 +182,15 @@ def test_statistics(qm9_file):
     shifts = np.asarray(shifts).reshape(-1)
     assert abs(shifts[6] - (-1036.0)) < 60
     assert abs(shifts[1] - (-16.4)) < 60
+
+
+def test_lr_injection_does_not_retrace(qm9_file, tmp_path):
+    """Plateau LR changes are injected into optax hyperparams without
+    changing the leaf aval — the train step must not recompile."""
+    tr = make_trainer(qm9_file, tmp_path / "wd3", max_epochs=5)
+    tr.init_metrics()
+    tr.epoch_step()
+    assert tr._train_step._cache_size() == 1
+    tr._set_lr(tr.current_lr * 0.5)
+    tr.epoch_step()
+    assert tr._train_step._cache_size() == 1

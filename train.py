@@ -66,7 +66,7 @@ def train_regression(config, FLAGS):
         workdir=FLAGS.workdir, seed=FLAGS.seed,
         equivariance_test=FLAGS.equivariance_test, profiling=FLAGS.profiling,
         log_period=FLAGS.log_period,
-        save_period=max(FLAGS.save_period // 1000, 1),
+        save_period=FLAGS.save_period,
     )
     if not FLAGS.resume_from:
         model = build(config.model_config)
