@@ -1,0 +1,113 @@
+"""Dataset loading variants (file/dir/regex/list), file sharding, capacity
+estimation, loader state."""
+
+import numpy as np
+import h5py
+import pytest
+
+from equivariant_nn_zoo_tpu.data import Batch, Data
+from equivariant_nn_zoo_tpu.data.dataloader import (
+    DataLoader,
+    estimate_capacities,
+    shard_paths,
+)
+from equivariant_nn_zoo_tpu.data.dataset import CondensedDataset
+
+
+RNG = np.random.default_rng(9)
+
+
+def write_file(path, n_mols=8, tag=0.0):
+    items = []
+    for _ in range(n_mols):
+        n = int(RNG.integers(3, 7))
+        items.append({
+            "pos": RNG.normal(size=(n, 3)).astype(np.float32) + tag,
+            "species": RNG.integers(1, 5, size=(n, 1)),
+            "y": np.asarray([[tag]], np.float32),
+            "_n_nodes": n,
+        })
+    attrs = {"pos": ("node", "1x1o"), "species": ("node", "1x0e"),
+             "y": ("graph", "1x0e"), "_n_nodes": ("graph", "1x0e")}
+    Batch.from_data_list(items, attrs).dumpHDF5(str(path))
+
+
+def test_load_single_file(tmp_path):
+    write_file(tmp_path / "a.hdf5")
+    ds = CondensedDataset(path=str(tmp_path / "a.hdf5"))
+    assert len(ds) == 8
+    assert ds.attrs["pos"] == ("node", "1x1o")
+
+
+def test_load_directory_and_regex(tmp_path):
+    write_file(tmp_path / "a.hdf5", tag=1.0)
+    write_file(tmp_path / "b.hdf5", tag=2.0)
+    write_file(tmp_path / "skip.other.hdf5", tag=3.0)
+    ds = CondensedDataset(path=str(tmp_path))
+    assert len(ds) == 24
+    ds2 = CondensedDataset(path=f"{tmp_path}:.*[ab]\\.hdf5")
+    assert len(ds2) == 16
+
+
+def test_load_list_of_paths(tmp_path):
+    write_file(tmp_path / "a.hdf5", tag=1.0)
+    write_file(tmp_path / "b.hdf5", tag=2.0)
+    ds = CondensedDataset(
+        path=[str(tmp_path / "a.hdf5"), str(tmp_path / "b.hdf5")]
+    )
+    assert len(ds) == 16
+
+
+def test_key_map_one_to_many(tmp_path):
+    write_file(tmp_path / "a.hdf5")
+    ds = CondensedDataset(path=str(tmp_path / "a.hdf5"),
+                          key_map={"species": ("Z", "atom_types")})
+    assert "Z" in ds.data and "atom_types" in ds.data
+    assert "species" not in ds.data
+
+
+def test_shard_paths():
+    paths = [f"f{i}" for i in range(8)]
+    # 4 processes x 8 files -> each gets 2
+    shards = [shard_paths(paths, r, 4) for r in range(4)]
+    assert all(len(s) == 2 for s in shards)
+    assert sorted(sum(shards, [])) == sorted(paths)
+    # gcd sharding: 3 processes x 8 files -> gcd 1, everyone gets all
+    assert shard_paths(paths, 1, 3) == paths
+    # non-list passes through
+    assert shard_paths("single.hdf5", 0, 4) == "single.hdf5"
+
+
+def test_estimate_capacities_covers_max(tmp_path):
+    write_file(tmp_path / "a.hdf5")
+    ds = CondensedDataset(path=str(tmp_path / "a.hdf5"))
+    node_cap, edge_cap = estimate_capacities(ds, batch_size=4)
+    max_nodes = int(np.asarray(ds["_n_nodes"]).max())
+    assert node_cap > max_nodes
+    assert node_cap % 128 == 0
+
+
+def test_loader_iterates_and_state(tmp_path):
+    write_file(tmp_path / "a.hdf5", n_mols=12)
+    ds = CondensedDataset(path=str(tmp_path / "a.hdf5"))
+    dl = DataLoader(ds, batch_size=4, shuffle=True, seed=3, prefetch=0)
+    batches = list(dl)
+    assert len(batches) == 3
+    assert all(b.n_graphs == 4 for b in batches)
+    state = dl.state_dict()
+    dl2 = DataLoader(ds, batch_size=4, shuffle=True, seed=99, prefetch=0)
+    dl2.load_state_dict(state)
+    a = np.asarray(next(iter(dl))["pos"])
+    b = np.asarray(next(iter(dl2))["pos"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_loader_drop_last_false(tmp_path):
+    write_file(tmp_path / "a.hdf5", n_mols=10)
+    ds = CondensedDataset(path=str(tmp_path / "a.hdf5"))
+    dl = DataLoader(ds, batch_size=4, drop_last=False, prefetch=0)
+    batches = list(dl)
+    assert len(batches) == 3
+    # last batch padded with empty graphs, masked out
+    last = batches[-1]
+    assert float(np.asarray(last["_graph_mask"]).sum()) == 2
