@@ -212,7 +212,8 @@ class FusedUVUConv:
         # per-edge CG operator (cached across layers with the same structure)
         M = self._get_M(sh)
 
-        # batched matmul: mid[e, K, mul]
+        # batched matmul: mid[e, K, mul]  (A/B showed per-group matmuls are
+        # slower: many small batched dots lose more than slice-grads cost)
         mid = jax.lax.dot_general(
             M, xTg,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
