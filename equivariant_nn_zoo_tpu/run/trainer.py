@@ -369,9 +369,21 @@ class Trainer:
             if is_per == "graph":
                 rows = value[:g].reshape(g, -1, irreps.dim)
             elif is_per == "node":
-                seg = np.asarray(batch["_node_segment"])
-                n0 = int(np.asarray(batch["_n_nodes"])[0, 0])
-                rows = value[: g * n0].reshape(g, n0, irreps.dim)
+                # group rows by the node->graph segment: the cross-copy std
+                # check is only meaningful when every graph is a (rotated)
+                # copy with the same node count — skip loudly otherwise
+                # instead of silently reshaping misaligned rows.
+                seg = np.asarray(batch["_node_segment"]).reshape(-1)
+                counts = np.bincount(seg, minlength=g + 1)[:g]
+                if g == 0 or not np.all(counts == counts[0]):
+                    self.logger.info(
+                        f"equivariance test skipped for {key}: node counts "
+                        f"differ across graphs (needs rotated copies)"
+                    )
+                    continue
+                per_graph = [value[seg == i] for i in range(g)]
+                rows = np.stack(per_graph).reshape(g, int(counts[0]),
+                                                   irreps.dim)
             else:
                 continue
             unrot = np.stack(

@@ -93,6 +93,64 @@ def test_trainer_with_mesh(tmp_path):
     assert np.isfinite(tr.mae_dict["validation_total_energy_mae"])
 
 
+def test_dp_matches_single_device():
+    """DP shard_map training must be numerically identical to single-device
+    training on the same total batch (DDP all-reduce ≡ large-batch SGD):
+    grads and updated params after K steps match to f32 tolerance."""
+    import optax
+
+    import __graft_entry__ as g
+    from equivariant_nn_zoo_tpu.parallel.data_parallel import (
+        make_dp_train_step,
+    )
+    from equivariant_nn_zoo_tpu.run.loss import Loss
+
+    n_dev = 4
+    mesh = make_mesh(n_dev)
+    model = g._tiny_model()
+    params0 = model.init(jax.random.PRNGKey(0))
+    loss_obj = Loss({"total_energy": [1.0, "MSELoss"]})
+    optimizer = optax.adam(1e-2)
+
+    rng = np.random.default_rng(42)
+    steps_shards = [
+        [g._tiny_batch(rng) for _ in range(n_dev)] for _ in range(3)
+    ]
+
+    # --- DP path ---------------------------------------------------------
+    dp_params = jax.tree_util.tree_map(jnp.copy, params0)
+    dp_opt = optimizer.init(dp_params)
+    step = make_dp_train_step(model, loss_obj, optimizer, mesh)
+    dp_losses = []
+    for shards in steps_shards:
+        stacked = put_sharded(stack_shards(shards), mesh)
+        dp_params, dp_opt, _, loss, _ = step(dp_params, dp_opt, None, stacked)
+        dp_losses.append(float(loss))
+
+    # --- single-device reference: mean of per-shard losses ----------------
+    sd_params = jax.tree_util.tree_map(jnp.copy, params0)
+    sd_opt = optimizer.init(sd_params)
+
+    def total_loss(p, shards):
+        losses = [loss_obj(model.apply(p, b).data, b.data)[0] for b in shards]
+        return jnp.mean(jnp.stack(losses))
+
+    sd_losses = []
+    for shards in steps_shards:
+        loss, grads = jax.value_and_grad(total_loss)(sd_params, shards)
+        updates, sd_opt = optimizer.update(grads, sd_opt, sd_params)
+        sd_params = optax.apply_updates(sd_params, updates)
+        sd_losses.append(float(loss))
+
+    np.testing.assert_allclose(dp_losses, sd_losses, rtol=1e-5, atol=1e-6)
+    flat_dp = jax.tree_util.tree_leaves(dp_params)
+    flat_sd = jax.tree_util.tree_leaves(sd_params)
+    for a, b in zip(flat_dp, flat_sd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_stack_and_put_sharded_roundtrip():
     from equivariant_nn_zoo_tpu.data import Batch, Data, GraphBatch
 

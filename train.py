@@ -36,6 +36,14 @@ flags.DEFINE_string("verbose", "INFO", "Logging verbosity.")
 flags.DEFINE_integer("log_period", 100, "Number of training batches.")
 flags.DEFINE_integer("eval_period", 20, "")
 flags.DEFINE_integer("save_period", 2000, "")
+flags.DEFINE_string("platform", None,
+                    "Force a jax platform (e.g. 'cpu' to exercise the DP "
+                    "mesh on virtual host devices; the TPU plugin ignores "
+                    "the JAX_PLATFORMS env var).")
+flags.DEFINE_integer("dp", 0,
+                     "In-process data-parallel width (device-mesh shards). "
+                     "0 = auto: use every local device when the batch size "
+                     "divides evenly; 1 = force single-device.")
 flags.DEFINE_integer("world_size", 1, "Number of processes (multi-host).")
 flags.DEFINE_string("master_addr", "127.0.0.1", "Coordinator address.")
 flags.DEFINE_string("master_port", "10000", "Coordinator port.")
@@ -46,6 +54,39 @@ FLAGS = flags.FLAGS
 
 def setSeed(seed):
     np.random.seed(seed)
+
+
+def _make_dp_mesh(batch_size: int, FLAGS):
+    """Mesh over this process's local devices for in-process DP.
+
+    The TPU-native analogue of the reference's mp.spawn + DDP wrap
+    (train.py:280-304, trainer.py:138-139): one process drives all local
+    chips; the Trainer shards each batch over the mesh via shard_map.
+    """
+    import jax
+
+    n = FLAGS.dp if FLAGS.dp > 0 else len(jax.local_devices())
+    if n <= 1:
+        return None
+    if len(jax.local_devices()) < n:
+        raise ValueError(
+            f"--dp={n} but only {len(jax.local_devices())} local devices"
+        )
+    if batch_size % n != 0:
+        if FLAGS.dp > 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by --dp={n}"
+            )
+        logging.warning(
+            "auto-DP disabled: batch_size %d %% %d devices != 0",
+            batch_size, n,
+        )
+        return None
+    from equivariant_nn_zoo_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n, devices=jax.local_devices()[:n])
+    logging.info("data-parallel mesh over %d local devices", n)
+    return mesh
 
 
 def train_regression(config, FLAGS):
@@ -67,6 +108,7 @@ def train_regression(config, FLAGS):
         equivariance_test=FLAGS.equivariance_test, profiling=FLAGS.profiling,
         log_period=FLAGS.log_period,
         save_period=FLAGS.save_period,
+        mesh=_make_dp_mesh(int(config.batch_size), FLAGS),
     )
     if not FLAGS.resume_from:
         model = build(config.model_config)
@@ -204,16 +246,25 @@ def train_diffusion(e3_config, FLAGS):
             import wandb as wandb_mod
         except ImportError:
             use_wandb = False
+    import jax.numpy as jnp
+
+    def _host_means(lst):
+        """One host sync for a whole window of device-scalar dicts."""
+        means = {
+            key: jnp.mean(jnp.stack([item[key] for item in lst]))
+            for key in lst[0]
+        }
+        return {k: float(v) for k, v in jax.device_get(means).items()}
+
     for step in range(initial_step, num_train_steps + 1):
         gb = scaler(next(train_iter))  # device-side scaling (GraphBatch path)
         state, loss, losses = train_step_fn(state, gb)
-        loss_lst.append({k: float(v) for k, v in losses.items()})
+        # keep device scalars; aggregating them here with float() would stall
+        # the dispatch queue every step (the Trainer's lazy-accumulation fix)
+        loss_lst.append(losses)
 
         if step % FLAGS.log_period == 0 and step > 0:
-            loss_dict = {
-                key: sum(item[key] for item in loss_lst) / len(loss_lst)
-                for key in loss_lst[0]
-            }
+            loss_dict = _host_means(loss_lst)
             logging.info(
                 "step: %d, training_loss: %.5e" % (step, loss_dict["total"])
             )
@@ -225,7 +276,7 @@ def train_diffusion(e3_config, FLAGS):
         if step % FLAGS.eval_period == 0:
             egb = scaler(next(eval_iter))
             state, _, eval_losses = eval_step_fn(state, egb)
-            eval_loss_lst.append({k: float(v) for k, v in eval_losses.items()})
+            eval_loss_lst.append(eval_losses)
 
         if (
             step != 0 and step % FLAGS.save_period == 0
@@ -237,9 +288,7 @@ def train_diffusion(e3_config, FLAGS):
             save_checkpoint(checkpoint_meta_dir, state)
             if eval_loss_lst:
                 loss_dict = {
-                    f"{key}_val": sum(it[key] for it in eval_loss_lst)
-                    / len(eval_loss_lst)
-                    for key in eval_loss_lst[0]
+                    f"{k}_val": v for k, v in _host_means(eval_loss_lst).items()
                 }
                 eval_loss_mean = loss_dict["total_val"]
                 logging.info(
@@ -274,6 +323,12 @@ def train_diffusion(e3_config, FLAGS):
 def main(argv):
     import jax
 
+    if FLAGS.platform:
+        try:
+            jax.config.update("jax_platforms", FLAGS.platform)
+        except Exception as e:  # backend already initialized
+            logging.warning("could not force platform %s: %s",
+                            FLAGS.platform, e)
     if FLAGS.world_size > 1:
         jax.distributed.initialize(
             coordinator_address=f"{FLAGS.master_addr}:{FLAGS.master_port}",
