@@ -178,9 +178,18 @@ def addForceOutput(config, gradients="forces", y="energy", sign=-1.0):
     """Wrap the whole network in a GradientOutput head.
 
     Reference: layer_configs.py:150-166.
+
+    GradientOutput differentiates through the net in the forward pass, so
+    training needs second-order autodiff — the Pallas conv kernel's custom
+    VJP only provides first order; pin those layers to the XLA fused path.
     """
     config = config.to_dict()
     layers = config.pop("layers")
+    for _name, layer in layers:
+        if isinstance(layer, dict) and isinstance(
+            layer.get("convolution"), dict
+        ):
+            layer["convolution"]["pallas"] = False
     module = config.pop("module")
     config = ConfigDict(config)
     config.func = {"module": module, "layers": layers}

@@ -47,6 +47,7 @@ class FactorizedConvolution(Module):
         nonlinearity_scalars: Dict = {"e": "ssp"},
         reduce=True,
         fused: bool = None,
+        pallas: bool = None,
         compute_dtype=None,
     ):
         super().__init__()
@@ -117,7 +118,31 @@ class FactorizedConvolution(Module):
                 cd = dict(
                     bfloat16=_jnp.bfloat16, float32=_jnp.float32
                 )[str(compute_dtype)]
-                self.fused_conv = FusedUVUConv(self.tp, compute_dtype=cd)
+                # Pallas hot loop: default-on for TPU backends unless the
+                # model differentiates through its output (force heads /
+                # NLL-score heads need second-order autodiff, which the
+                # kernel's custom VJP does not provide — those layers are
+                # built with pallas=False by the config builders).
+                # default off: at real QM9 edge counts the XLA-side
+                # gather/transpose wrapper still dominates; flips on by
+                # default once the in-kernel gather/scatter variant lands
+                if pallas is None:
+                    pallas = os.environ.get("E3_PALLAS", "0") == "1"
+                self.fused_conv = None
+                if pallas:
+                    try:
+                        import jax as _jax
+
+                        from ..ops.pallas.fused_conv import PallasUVUConv
+
+                        if _jax.default_backend() == "tpu":
+                            self.fused_conv = PallasUVUConv(
+                                self.tp, compute_dtype=cd
+                            )
+                    except Exception:
+                        self.fused_conv = None
+                if self.fused_conv is None:
+                    self.fused_conv = FusedUVUConv(self.tp, compute_dtype=cd)
                 if self.use_sc:
                     try:
                         self.fused_sc = FusedScalarFCTP(self.sc, compute_dtype=cd)

@@ -1,0 +1,493 @@
+"""Pallas fused uvu-TP convolution: gather-side TP + weights + mix in VMEM.
+
+The pure-XLA fused path (``ops/fused_tp.py``) is bounded by ~8 HBM passes
+over the ``[E, K≈212, mul=64]`` tensor-product intermediate per layer
+(forward and backward): the batched matmul writes it, the weight multiply
+rewrites it, the mix dots read it, and the backward repeats each pass
+(~17 GB/step at config_energy scale — the measured wall behind the round-1
+813 graphs/sec plateau).  This kernel computes the intermediate tile-wise in
+VMEM and never materializes it in HBM.
+
+Reference hot loop being replaced: e3_layers/nn/message_passing.py:104-109
+(one small einsum per CG path + per-edge mix).  Here the whole TP becomes
+ONE MXU matmul per edge tile:
+
+    minor layout (u, e): each tile holds TILE edges in lanes with the
+    multiplicity u as the major half of the minor axis.
+
+    outer[(j,i), (u,e)] = sh[j,e] * x[i,(u,e)]         (VPU, 9 broadcasts)
+    mid[k, (u,e)]       = C2[k,(j,i)] @ outer           (one [K,JI]x[JI,u*T]
+                                                         MXU matmul; C2 is
+                                                         the static CG
+                                                         operator, all paths)
+    weighted            = mid * w_radial (per-path row broadcast, VPU)
+    W3[(k,u), e]        = reshape(weighted)             (one relayout)
+    out[(g,dd,io,w), e] = wselT_g @ W3-block            (per-(group,m3)
+                                                         MXU matmuls = the
+                                                         expansion's mix
+                                                         linear, per edge)
+
+Per-tile HBM traffic is just the gathered features, sh, radial weights and
+the mixed edge output — the [E,K,mul] intermediate never leaves VMEM.
+
+The custom VJP runs a sibling kernel that recomputes the forward
+intermediates tile-wise (rematerialization: FLOPs are cheap on the MXU, HBM
+is not) and emits cotangents for the gathered features, the spherical
+harmonics, the radial weights and the mix matrices.  Second-order autodiff
+(force training) is NOT supported through the custom VJP — callers that
+differentiate through the output (GradientOutput) must use the XLA path.
+
+K-order note: rows of the mid tensor are ordered (group, m3-component dd,
+path m) — dd-major, unlike ``FusedUVUConv``'s (path, dd) — so that the mix
+contraction over (m, u) sees a contiguous [n_paths*mul, TILE] block after
+the single reshape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fused_tp import FusedUVUConv
+
+
+def pallas_supported() -> bool:
+    """True when jax.experimental.pallas imports and a TPU or interpretable
+    backend is available."""
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _compiler_params(interpret: bool):
+    """Raise the scoped-VMEM ceiling: the bwd kernel's working set (remat
+    intermediates + grads) slightly exceeds Mosaic's 16MB default."""
+    if interpret:
+        return {}
+    from jax.experimental.pallas import tpu as pltpu
+
+    return dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    )
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+class PallasUVUConv(FusedUVUConv):
+    """Drop-in replacement for FusedUVUConv running the hot loop in Pallas.
+
+    Parameter-compatible with ``TensorProductExpansion`` (same pytree as the
+    XLA fused path); forward/backward parity is covered by tests.
+    """
+
+    def __init__(self, tpe, compute_dtype=jnp.bfloat16, tile: int = None):
+        super().__init__(tpe, compute_dtype=compute_dtype)
+        mul = self.mul
+        if tile is None:
+            # Mosaic requires the last block dim divisible by 128; the sh
+            # and output blocks have bare edge tiles in lanes, so the edge
+            # tile itself must be 128 (smaller tiles only work in interpret
+            # mode, which tests use via an explicit tile=).
+            tile = 128
+        self.tile = tile
+        self.J_dim = sum(mi.ir.dim for mi in self.irreps_sh)
+        J, I, K, mul = self.J_dim, self.I_dim, self.K_dim, self.mul
+
+        # ---- path/row bookkeeping in kernel K-order: (group, dd, m) -------
+        # self.groups: (ir, k0, n_paths, d, p0); k0 values are unchanged
+        # because each group's row count n_paths*d is order-independent.
+        mid_irreps = tpe.tp.irreps_out
+        i_starts = np.cumsum([0] + [mi.ir.dim for mi in self.irreps_in])
+        j_starts = np.cumsum([0] + [mi.ir.dim for mi in self.irreps_sh])
+        from ..wigner import wigner_3j
+
+        C2 = np.zeros((K, J * I), np.float32)
+        for g, (ir, k0, n_paths, d, p0) in enumerate(self.groups):
+            for m in range(n_paths):
+                ins = self.paths[p0 + m]
+                l1 = self.irreps_in[ins.i_in1].ir.l
+                l2 = self.irreps_sh[ins.i_in2].ir.l
+                l3 = mid_irreps[ins.i_out].ir.l
+                cg = wigner_3j(l1, l2, l3) * ins.path_weight  # [d1, d2, d3]
+                i0 = int(i_starts[ins.i_in1])
+                j0 = int(j_starts[ins.i_in2])
+                for dd in range(d):
+                    row = k0 + dd * n_paths + m
+                    for m2 in range(2 * l2 + 1):
+                        for m1 in range(2 * l1 + 1):
+                            C2[row, (j0 + m2) * I + (i0 + m1)] += cg[m1, m2, dd]
+        self._C2 = jnp.asarray(C2)
+
+        # radial-weight rows (TPE layout) in our path order, per group slice
+        self._w_order = np.asarray(
+            [off // mul for off in self.path_w_offset], np.int32
+        )
+
+        # mix bookkeeping: per group the (k0, n_paths, d), the stacked wselT
+        # column layout, and where each (dd, io) block lands in the output
+        self._mix = []
+        out_row = 0
+        # final column permutation: final col (io, u, dd) <- kernel row
+        out_dim = sum(mo.mul * mo.ir.dim for mo in self.linear.irreps_out)
+        io_offsets = np.cumsum(
+            [0] + [mo.mul * mo.ir.dim for mo in self.linear.irreps_out]
+        )
+        col_src = np.full(out_dim, -1, np.int64)
+        for g, (ir, k0, n_paths, d, p0) in enumerate(self.groups):
+            ios = self.lin_out.get(ir, [])
+            muls = [self.linear.irreps_out[io].mul for io in ios]
+            Wg = sum(muls)
+            for dd in range(d):
+                w_ofs = 0
+                for io, mo_mul in zip(ios, muls):
+                    # kernel rows out_row+dd*Wg+w_ofs .. +mo_mul are
+                    # (io, u=0..mo_mul-1) at component dd
+                    base = out_row + dd * Wg + w_ofs
+                    for u in range(mo_mul):
+                        col_src[io_offsets[io] + u * d + dd] = base + u
+                    w_ofs += mo_mul
+            self._mix.append(
+                dict(k0=k0, n_paths=n_paths, d=d, ios=ios, muls=muls,
+                     Wg=Wg, out_row=out_row)
+            )
+            out_row += d * Wg
+        self.out_rows = out_row
+        self.out_dim = out_dim
+        # -1 (never produced) -> index out_rows, a zero pad row
+        col_src[col_src < 0] = out_row
+        self._col_src = jnp.asarray(col_src)
+
+    # ------------------------------------------------------------------ XLA
+    def _prep_x(self, x, edge_src, E):
+        """x [N, in_dim] -> tiled-gathered [I, (E//T)*T*mul] with per-tile
+        minor layout (u, e_local)."""
+        mul, I, T = self.mul, self.I_dim, self.tile
+        cd = self.compute_dtype
+        blocks = []
+        ofs = 0
+        for mi in self.irreps_in:
+            d = mi.ir.dim
+            b = x[:, ofs: ofs + mul * d].reshape(-1, mul, d)
+            blocks.append(jnp.transpose(b, (2, 1, 0)))  # [d, mul, N]
+            ofs += mul * d
+        xT = jnp.concatenate(blocks, axis=0).astype(cd)  # [I, mul, N]
+        xg = jnp.take(xT, edge_src, axis=2)  # [I, mul, E]
+        xg = xg.reshape(I, mul, E // T, T).transpose(0, 2, 1, 3)
+        return xg.reshape(I, E * mul)
+
+    def _prep_w(self, weight, E):
+        """radial weights [E, P*mul] -> [P, (E//T)*T*mul], rows in our path
+        order, per-tile minor (u, e_local)."""
+        mul, T = self.mul, self.tile
+        P = len(self.paths)
+        cd = self.compute_dtype
+        w = weight.reshape(E, P, mul)[:, self._w_order, :]
+        w = w.transpose(1, 2, 0).reshape(P, mul, E // T, T)
+        return w.transpose(0, 2, 1, 3).reshape(P, E * mul).astype(cd)
+
+    def _prep_wsel(self, linear_params):
+        """Per-group stacked mix matrices: wselT_g [Wg, n_paths*mul] (fwd)
+        and wsel_g [n_paths*mul, Wg] (bwd), built from the TPE linear params
+        so XLA autodiff routes the mix gradient back to the pytree."""
+        cd = self.compute_dtype
+        wselT, wsel = [], []
+        for g, mx in enumerate(self._mix):
+            ir = self.groups[g][0]
+            ii = self.lin_in_index[ir]
+            rows = self.group_row_perm[g]
+            cols = []
+            for io in mx["ios"]:
+                w_full = linear_params[f"w{ii}_{io}"] * self.linear.alphas[io]
+                cols.append(w_full[rows])  # [n_paths*mul, mul_out]
+            w_g = jnp.concatenate(cols, axis=1).astype(cd)
+            wsel.append(w_g)
+            wselT.append(w_g.T)
+        return wselT, wsel
+
+    # --------------------------------------------------------------- kernels
+    def _fwd_kernel(self):
+        J, I, K, mul, T = self.J_dim, self.I_dim, self.K_dim, self.mul, self.tile
+        mix, cd = self._mix, self.compute_dtype
+
+        def kernel(xTT, shT, w2, C2, *args):
+            wselT = args[: len(mix)]
+            out = args[len(mix)]
+            x = xTT[...]
+            sh = shT[...]
+            w = w2[...]
+            # outer[(j,i), (u,e)] = sh[j,e] * x[i,(u,e)]
+            rows = []
+            for j in range(J):
+                srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
+                rows.append(srep * x)
+            outer = jnp.concatenate(rows, axis=0)  # [J*I, mul*T]
+            mid = jax.lax.dot_general(
+                C2[...].astype(cd), outer,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)  # [K, mul*T]
+            outs = []
+            for g, mx in enumerate(mix):
+                k0, npg, d = mx["k0"], mx["n_paths"], mx["d"]
+                wp = w[self._w_path_slice(g)]  # [npg, mul*T]
+                wt_g = wselT[g][...]
+                for dd in range(d):
+                    blk = mid[k0 + dd * npg: k0 + (dd + 1) * npg, :] * wp
+                    blk = blk.reshape(npg * mul, T)
+                    outs.append(
+                        jax.lax.dot_general(
+                            wt_g, blk,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(cd)
+                    )
+            out[...] = jnp.concatenate(outs, axis=0)
+
+        return kernel
+
+    def _w_path_slice(self, g):
+        mx = self._mix[g]
+        p0 = self.groups[g][4]
+        return slice(p0, p0 + mx["n_paths"])
+
+    def _bwd_kernel(self):
+        J, I, K, mul, T = self.J_dim, self.I_dim, self.K_dim, self.mul, self.tile
+        mix, cd = self._mix, self.compute_dtype
+        G = len(mix)
+        import jax.experimental.pallas as pl
+
+        def kernel(*args):
+            (xTT, shT, w2, C2, C2T) = args[:5]
+            wsel = args[5: 5 + G]
+            gout = args[5 + G]
+            dx_ref, dsh_ref, dw_ref = args[6 + G: 9 + G]
+            dwsel_refs = args[9 + G: 9 + 2 * G]
+
+            x = xTT[...]
+            sh = shT[...]
+            w = w2[...]
+            g_out = gout[...].astype(cd)
+
+            # ---- recompute forward intermediates (remat) ------------------
+            rows = []
+            for j in range(J):
+                srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
+                rows.append(srep * x)
+            outer = jnp.concatenate(rows, axis=0)
+            mid = jax.lax.dot_general(
+                C2[...].astype(cd), outer,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)
+
+            # ---- mix backward + weight/mid cotangents ---------------------
+            dmid_blocks = []
+            dw_blocks = {}
+            first_tile = pl.program_id(0) == 0
+            for g, mx in enumerate(mix):
+                k0, npg, d, Wg = mx["k0"], mx["n_paths"], mx["d"], mx["Wg"]
+                wp = w[self._w_path_slice(g)]
+                ws_g = wsel[g][...]
+                dws_acc = None
+                dw_acc = None
+                for dd in range(d):
+                    go_blk = g_out[
+                        mx["out_row"] + dd * Wg: mx["out_row"] + (dd + 1) * Wg,
+                        :,
+                    ]
+                    mid_blk = mid[k0 + dd * npg: k0 + (dd + 1) * npg, :]
+                    w_blk = (mid_blk * wp).reshape(npg * mul, T)  # W3 block
+                    # dwsel accumulation: W3_blk @ go_blk^T
+                    contrib = jax.lax.dot_general(
+                        w_blk, go_blk,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dws_acc = contrib if dws_acc is None else dws_acc + contrib
+                    # dW3 = wsel @ gout
+                    dW3 = jax.lax.dot_general(
+                        ws_g, go_blk,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(cd).reshape(npg, mul * T)
+                    dmid_blocks.append(dW3 * wp)
+                    dwc = dW3 * mid_blk
+                    dw_acc = dwc if dw_acc is None else dw_acc + dwc
+                dw_blocks[g] = dw_acc
+
+                @pl.when(first_tile)
+                def _(g=g, dws_acc=dws_acc):
+                    dwsel_refs[g][...] = dws_acc
+
+                @pl.when(jnp.logical_not(first_tile))
+                def _(g=g, dws_acc=dws_acc):
+                    dwsel_refs[g][...] = dwsel_refs[g][...] + dws_acc
+
+            dmid = jnp.concatenate(dmid_blocks, axis=0)  # [K, mul*T]
+            # dw rows back to our path order
+            dw_ref[...] = jnp.concatenate(
+                [dw_blocks[g] for g in range(G)], axis=0
+            ).astype(dw_ref.dtype)
+
+            douter = jax.lax.dot_general(
+                C2T[...].astype(cd), dmid,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)  # [J*I, mul*T]
+
+            dx = None
+            dsh_rows = []
+            for j in range(J):
+                srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
+                do_j = douter[j * I: (j + 1) * I, :]
+                contrib = srep * do_j
+                dx = contrib if dx is None else dx + contrib
+                # dsh[j, e] = sum_{i,u} douter[(j,i),(u,e)] * x[i,(u,e)]
+                s = jnp.sum(do_j * x, axis=0)  # [mul*T]
+                dsh_rows.append(jnp.sum(s.reshape(mul, T), axis=0,
+                                        keepdims=True))
+            dx_ref[...] = dx.astype(dx_ref.dtype)
+            dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0).astype(
+                dsh_ref.dtype
+            )
+
+        return kernel
+
+    # ------------------------------------------------------------- pallas op
+    @functools.cached_property
+    def _pallas_fn(self):
+        """custom_vjp'd function (xTT, shT, w2, wselT..., wsel...) -> outT."""
+        import jax.experimental.pallas as pl
+
+        J, I, K, mul, T = (self.J_dim, self.I_dim, self.K_dim, self.mul,
+                           self.tile)
+        G = len(self._mix)
+        cd = self.compute_dtype
+        C2 = self._C2
+        C2T = jnp.asarray(np.ascontiguousarray(np.asarray(self._C2).T))
+        out_rows = self.out_rows
+        fwd_kernel = self._fwd_kernel()
+        bwd_kernel = self._bwd_kernel()
+        interpret = _use_interpret()
+
+        def run_fwd(xTT, shT, w2, wselT):
+            E = shT.shape[1]
+            grid = (E // T,)
+            in_specs = [
+                pl.BlockSpec((I, T * mul), lambda t: (0, t)),
+                pl.BlockSpec((J, T), lambda t: (0, t)),
+                pl.BlockSpec((len(self.paths), T * mul), lambda t: (0, t)),
+                pl.BlockSpec((K, J * I), lambda t: (0, 0)),
+            ] + [
+                pl.BlockSpec(w.shape, lambda t: (0, 0)) for w in wselT
+            ]
+            return pl.pallas_call(
+                fwd_kernel,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((out_rows, T), lambda t: (0, t)),
+                out_shape=jax.ShapeDtypeStruct((out_rows, E), cd),
+                interpret=interpret,
+                **_compiler_params(interpret),
+            )(xTT, shT, w2, C2, *wselT)
+
+        def run_bwd(xTT, shT, w2, wsel, gout):
+            E = shT.shape[1]
+            grid = (E // T,)
+            in_specs = [
+                pl.BlockSpec((I, T * mul), lambda t: (0, t)),
+                pl.BlockSpec((J, T), lambda t: (0, t)),
+                pl.BlockSpec((len(self.paths), T * mul), lambda t: (0, t)),
+                pl.BlockSpec((K, J * I), lambda t: (0, 0)),
+                pl.BlockSpec((J * I, K), lambda t: (0, 0)),
+            ] + [
+                pl.BlockSpec(w.shape, lambda t: (0, 0)) for w in wsel
+            ] + [
+                pl.BlockSpec((out_rows, T), lambda t: (0, t)),
+            ]
+            out_shapes = [
+                jax.ShapeDtypeStruct((I, E * mul), cd),      # dxTT
+                jax.ShapeDtypeStruct((J, E), cd),            # dshT
+                jax.ShapeDtypeStruct((len(self.paths), E * mul), cd),  # dw2
+            ] + [
+                jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wsel
+            ]
+            out_specs = [
+                pl.BlockSpec((I, T * mul), lambda t: (0, t)),
+                pl.BlockSpec((J, T), lambda t: (0, t)),
+                pl.BlockSpec((len(self.paths), T * mul), lambda t: (0, t)),
+            ] + [
+                pl.BlockSpec(w.shape, lambda t: (0, 0)) for w in wsel
+            ]
+            return pl.pallas_call(
+                bwd_kernel,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shapes,
+                interpret=interpret,
+                **_compiler_params(interpret),
+            )(xTT, shT, w2, C2, C2T, *wsel, gout)
+
+        @jax.custom_vjp
+        def f(xTT, shT, w2, wselT, wsel):
+            return run_fwd(xTT, shT, w2, wselT)
+
+        def f_fwd(xTT, shT, w2, wselT, wsel):
+            return run_fwd(xTT, shT, w2, wselT), (xTT, shT, w2, wsel)
+
+        def f_bwd(res, gout):
+            xTT, shT, w2, wsel = res
+            outs = run_bwd(xTT, shT, w2, wsel, gout)
+            dxTT, dshT, dw2 = outs[:3]
+            dwsel = list(outs[3:])
+            # the mix gradient is returned on the untransposed (wsel) leg;
+            # the wselT leg gets zeros (both derive from the same params
+            # upstream, XLA sums the two paths)
+            dwselT = [jnp.zeros((w.shape[1], w.shape[0]), w.dtype)
+                      for w in wsel]
+            return (dxTT, dshT, dw2, dwselT,
+                    [d.astype(w.dtype) for d, w in zip(dwsel, wsel)])
+
+        f.defvjp(f_fwd, f_bwd)
+        return f
+
+    # ------------------------------------------------------------- interface
+    def __call__(self, linear_params, x, edge_src, edge_dst, sh, weight,
+                 num_nodes: int, pre_scale=None, out_dtype=jnp.float32):
+        """Same contract as FusedUVUConv.__call__ (message_passing.py)."""
+        from ..segment import segment_sum
+
+        cd = self.compute_dtype
+        E = sh.shape[0]
+        T = self.tile
+        assert E % T == 0, f"edge capacity {E} not a multiple of tile {T}"
+
+        xTT = self._prep_x(x, edge_src, E)
+        shT = jnp.transpose(sh, (1, 0)).astype(cd)
+        w2 = self._prep_w(weight, E)
+        wselT, wsel = self._prep_wsel(linear_params)
+
+        outT = self._pallas_fn(xTT, shT, w2, wselT, wsel)  # [out_rows, E]
+        # pad one zero row for columns no path produces, then permute into
+        # the irreps_out layout and flip to edge-major
+        outT = jnp.concatenate(
+            [outT, jnp.zeros((1, E), outT.dtype)], axis=0
+        )
+        edge_out = jnp.take(outT, self._col_src, axis=0).T  # [E, out_dim]
+        if pre_scale is not None:
+            edge_out = edge_out * pre_scale
+        edge_out = edge_out.astype(cd)
+        out = segment_sum(edge_out, edge_dst, num_nodes)
+        return out.astype(out_dtype)
