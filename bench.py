@@ -71,12 +71,23 @@ def main():
     head = 1.1 + 2.0 / (batch_size ** 0.5)
     node_cap = int(np.ceil(batch_size * np.mean(n_nodes) * head / 128) * 128)
     edge_cap = int(np.ceil(batch_size * np.mean(n_edges) * head / 128) * 128)
+    # tile-aligned layout on TPU (Pallas full-conv path), same policy as
+    # the production DataLoader (_default_edge_tile)
+    tile = 128 if jax.default_backend() == "tpu" else None
+    if tile:
+        per_run = max(1, 121 // max(1, int(np.mean(n_nodes))))
+        n_runs = int(np.ceil(batch_size / per_run))
+        edge_cap = int(np.ceil(
+            (batch_size * np.mean(n_edges) * head + n_runs * tile) / tile
+        ) * tile)
+        node_cap = max(node_cap, 128)
     batches = []
     for b in range(4):
         host = Batch.from_data_list(
             mols[b * batch_size : (b + 1) * batch_size]
         )
-        gb = GraphBatch.from_batch(host, node_cap, edge_cap, batch_size)
+        gb = GraphBatch.from_batch(host, node_cap, edge_cap, batch_size,
+                                   edge_tile=tile)
         assert gb.dropped == 0, "raise bench capacities"
         batches.append(jax.device_put(gb))
 
@@ -103,7 +114,10 @@ def main():
         params, opt_state, loss = train_step(params, opt_state, b)
     jax.block_until_ready(loss)
 
-    n_steps = 30
+    # wall-clock over many steps: on the axon-tunneled TPU,
+    # block_until_ready alone does not reliably wait, so run enough steps
+    # that dispatch-queue backpressure dominates (platform note, CLAUDE.md)
+    n_steps = 200
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, opt_state, loss = train_step(
@@ -112,7 +126,52 @@ def main():
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    graphs_per_sec = n_steps * batch_size / dt
+    # cross-check: profiler-trace device time for a shorter window; the two
+    # methods must agree or the wall-clock number is untrustworthy
+    dev_step = None
+    try:
+        import glob
+        import gzip
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            n_prof = 30
+            with jax.profiler.trace(td):
+                for i in range(n_prof):
+                    params, opt_state, loss = train_step(
+                        params, opt_state, batches[i % len(batches)]
+                    )
+                jax.block_until_ready(loss)
+            time.sleep(0.5)
+            traces = sorted(
+                glob.glob(td + "/**/*.trace.json.gz", recursive=True)
+            )
+            if traces:
+                ev = json.load(gzip.open(traces[-1])).get("traceEvents", [])
+                tot = 0.0
+                for e in ev:
+                    a = e.get("args", {})
+                    if e.get("ph") == "X" and "hlo_category" in a:
+                        tot += int(a.get("device_duration_ps", "0")) / 1e12
+                if tot > 0:
+                    dev_step = tot / n_prof
+    except Exception as e:  # profiling is best-effort
+        sys.stderr.write(f"bench trace cross-check unavailable: {e}\n")
+    wall_step = dt / n_steps
+    if dev_step is not None:
+        skew = abs(dev_step - wall_step) / wall_step
+        sys.stderr.write(
+            f"bench methodology: wall {wall_step*1e3:.2f} ms/step, "
+            f"device {dev_step*1e3:.2f} ms/step, skew {skew:.1%}\n"
+        )
+        if skew > 0.15:
+            sys.stderr.write(
+                "WARNING: wall-clock and trace-aggregated step times "
+                "disagree by >15%; reporting the slower (conservative)\n"
+            )
+            wall_step = max(wall_step, dev_step)
+
+    graphs_per_sec = batch_size / wall_step
     print(
         json.dumps(
             {

@@ -40,7 +40,8 @@ class Collater:
 
 
 def estimate_capacities(dataset, batch_size: int, sample: int = 256,
-                        headroom: float = None, multiple: int = 128):
+                        headroom: float = None, multiple: int = 128,
+                        edge_tile: int = None, window: int = 128):
     """Estimate static (node, edge) capacities from a dataset sample.
 
     Capacity = batch_size * mean-per-graph * headroom, rounded up; one node
@@ -69,7 +70,45 @@ def estimate_capacities(dataset, batch_size: int, sample: int = 256,
     node_cap = max(node_cap, round_up(max_graph_nodes + 1))
     edge_cap = round_up(max(batch_size * float(np.mean(edges)) * headroom, 1))
     edge_cap = max(edge_cap, round_up(max(edges) + 1))
+    if edge_tile:
+        # tile-aligned layout: edges are padded per window-run; estimate the
+        # run count from the sampled node sizes and pay one tile of slack
+        # per run on top of the usual headroom
+        per_run = max(1, (window - 7) // max(1, int(np.mean(nodes))))
+        n_runs = math.ceil(batch_size / per_run)
+        edge_cap = round_up(
+            batch_size * float(np.mean(edges)) * headroom
+            + n_runs * edge_tile
+        )
+        edge_cap = int(math.ceil(edge_cap / edge_tile) * edge_tile)
+        node_cap = max(node_cap, window)
     return node_cap, edge_cap
+
+
+def _default_edge_tile(dataset):
+    """Tile-aligned batches by default on TPU (the Pallas full-conv kernel
+    consumes them; other paths ignore the extra arrays).  Host-side edges
+    must exist — device-built edge workloads keep the plain layout."""
+    import os
+
+    if os.environ.get("E3_PALLAS", "1") != "1":
+        return None
+    if os.environ.get("E3_TILE_EDGES", "") == "0":
+        return None
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return None
+    except Exception:
+        return None
+    try:
+        item = dataset[0]
+        if "edge_index" not in item.keys() and "_n_edges" not in item.keys():
+            return None
+    except Exception:
+        return None
+    return 128
 
 
 class DataLoader:
@@ -78,20 +117,30 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  seed: int = 0, node_capacity: int = None,
                  edge_capacity: int = None, drop_last: bool = True,
-                 prefetch: int = 2, num_shards: int = 1, **kwargs):
+                 prefetch: int = 2, num_shards: int = 1,
+                 edge_tile: int = None, window: int = 128, **kwargs):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.collater = Collater.for_dataset(dataset)
         self.num_shards = num_shards
+        if edge_tile is None:
+            edge_tile = _default_edge_tile(dataset)
+        self.edge_tile = edge_tile or None
+        self.window = window
         if num_shards > 1:
             assert batch_size % num_shards == 0, (
                 "batch_size must divide evenly across shards"
             )
         if node_capacity is None or edge_capacity is None:
             node_capacity, edge_capacity = estimate_capacities(
-                dataset, batch_size // num_shards, multiple=128
+                dataset, batch_size // num_shards, multiple=128,
+                edge_tile=self.edge_tile, window=window,
+            )
+        elif self.edge_tile and edge_capacity % self.edge_tile:
+            edge_capacity = int(
+                math.ceil(edge_capacity / self.edge_tile) * self.edge_tile
             )
         self.node_capacity = node_capacity
         self.edge_capacity = edge_capacity
@@ -105,6 +154,22 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _pad(self, host, n_graphs) -> GraphBatch:
+        if self.edge_tile:
+            try:
+                return GraphBatch.from_batch(
+                    host, self.node_capacity, self.edge_capacity, n_graphs,
+                    edge_tile=self.edge_tile, window=self.window,
+                )
+            except ValueError as e:  # graphs too large for the window
+                logging.warning(
+                    "tile-aligned batching disabled: %s", e
+                )
+                self.edge_tile = None
+        return GraphBatch.from_batch(
+            host, self.node_capacity, self.edge_capacity, n_graphs
+        )
+
     def _make_batch(self, indices) -> GraphBatch:
         items = [self.dataset[int(i)] for i in indices]
         if self.num_shards > 1:
@@ -116,18 +181,14 @@ class DataLoader:
             dropped = 0
             for s in range(self.num_shards):
                 host = self.collater(items[s * per : (s + 1) * per])
-                gb = GraphBatch.from_batch(
-                    host, self.node_capacity, self.edge_capacity, per
-                )
+                gb = self._pad(host, per)
                 dropped += gb.dropped
                 shards.append(gb)
             out = stack_shards(shards)
             out.dropped = dropped
         else:
             host = self.collater(items)
-            out = GraphBatch.from_batch(
-                host, self.node_capacity, self.edge_capacity, self.batch_size
-            )
+            out = self._pad(host, self.batch_size)
         if out.dropped:
             self.dropped_graphs += out.dropped
             logging.warning(

@@ -107,13 +107,29 @@ class GraphBatch:
         node_capacity: int,
         edge_capacity: int,
         n_graphs: int = None,
+        edge_tile: int = None,
+        window: int = 128,
     ) -> "GraphBatch":
         """Pad a host Batch to static capacities (numpy; no device transfer).
 
         Graphs that don't fit the capacities are dropped from the tail and
         the count is recorded in ``.dropped`` (never silently ignored —
         the dataloader logs it).
+
+        ``edge_tile``: lay edges out in per-graph blocks padded to a
+        multiple of ``edge_tile`` so every tile of that many edges belongs
+        to one graph whose nodes fit a ``window``-node window.  This is the
+        batch invariant the Pallas full-conv kernel needs to turn
+        gather/scatter into windowed one-hot matmuls; it adds the arrays
+        ``_edge_tile_win`` [E/T] (window start per tile) and
+        ``_edge_src_local``/``_edge_dst_local`` [E] (window-relative edge
+        indices).  Requires every kept graph to have <= ``window`` nodes.
         """
+        if edge_tile:
+            return cls._from_batch_tiled(
+                batch, node_capacity, edge_capacity, n_graphs,
+                edge_tile, window,
+            )
         batch.computeCumsums()
         g_total = batch.n_graphs
         n_graphs = g_total if n_graphs is None else n_graphs
@@ -193,24 +209,203 @@ class GraphBatch:
 
         return cls(data, dict(batch.attrs), G, N, E, dropped=dropped)
 
+    @classmethod
+    def _from_batch_tiled(cls, batch, node_capacity, edge_capacity, n_graphs,
+                          T, window):
+        """Tile-aligned layout (see from_batch docstring)."""
+        batch.computeCumsums()
+        g_total = batch.n_graphs
+        n_graphs = g_total if n_graphs is None else n_graphs
+        N, E, G = node_capacity, edge_capacity, n_graphs
+        assert E % T == 0, f"edge capacity {E} not a multiple of tile {T}"
+        dummy = N - 1
+
+        n_nodes = batch.data["_n_nodes"][:, 0].astype(np.int64)
+        has_edges = "_n_edges" in batch.data
+        n_edges = (
+            batch.data["_n_edges"][:, 0].astype(np.int64)
+            if has_edges
+            else np.zeros(g_total, np.int64)
+        )
+        def slots_of(e):
+            return int((e + T - 1) // T) * T
+
+        # pack consecutive graphs into window "runs": all graphs of a run
+        # share node windows, so their edges concatenate with the tile
+        # padding paid once per run instead of once per graph (~5% overhead
+        # at QM9 scale instead of ~45%)
+        runs = []  # list of [graph indices]
+        g_keep = 0
+        nodes_used = 0
+        slots_used = 0
+        cur_nodes = cur_edges = cur_slots = 0
+        for i in range(min(g_total, n_graphs)):
+            if n_nodes[i] > window - 7:
+                raise ValueError(
+                    f"graph {i} has {n_nodes[i]} nodes > window-7 "
+                    f"({window - 7}); tile-aligned batching requires graphs "
+                    "to fit the scatter window"
+                )
+            extend = bool(runs) and cur_nodes + n_nodes[i] <= window - 7
+            if extend:
+                new_slots = slots_of(cur_edges + n_edges[i])
+                delta = new_slots - cur_slots
+            else:
+                new_slots = slots_of(n_edges[i])
+                delta = new_slots
+            if (
+                nodes_used + n_nodes[i] <= node_capacity - 1
+                and slots_used + delta <= edge_capacity
+            ):
+                if extend:
+                    runs[-1].append(i)
+                    cur_nodes += int(n_nodes[i])
+                    cur_edges += int(n_edges[i])
+                else:
+                    runs.append([i])
+                    cur_nodes = int(n_nodes[i])
+                    cur_edges = int(n_edges[i])
+                cur_slots = new_slots
+                nodes_used += int(n_nodes[i])
+                slots_used += delta
+                g_keep += 1
+            else:
+                break
+        dropped = min(g_total, n_graphs) - g_keep
+
+        node_ofs = np.concatenate([[0], np.cumsum(n_nodes[:g_keep])])
+        src_ofs = np.concatenate([[0], np.cumsum(n_edges[:g_keep])])
+        edges_real = int(src_ofs[-1])
+
+        # run bookkeeping: slot offset, node start, slot span
+        run_first = [r[0] for r in runs]
+        run_edges = [int(sum(n_edges[i] for i in r)) for r in runs]
+        run_slots = [slots_of(e) for e in run_edges]
+        run_slot_ofs = np.concatenate([[0], np.cumsum(run_slots)]).astype(
+            np.int64
+        )
+        assert not runs or int(run_slot_ofs[-1]) == slots_used
+
+        # destination slot of each real edge, and the run of each tile
+        dest_parts = []
+        for r, graphs in enumerate(runs):
+            e0 = int(src_ofs[graphs[0]])
+            e1 = int(src_ofs[graphs[-1] + 1])
+            dest_parts.append(
+                np.arange(e1 - e0) + int(run_slot_ofs[r])
+            )
+        dest = (
+            np.concatenate(dest_parts).astype(np.int64)
+            if dest_parts else np.zeros(0, np.int64)
+        )
+        n_tiles = E // T
+        tile_run = np.full(n_tiles, -1, np.int64)
+        for r in range(len(runs)):
+            tile_run[int(run_slot_ofs[r]) // T: int(run_slot_ofs[r + 1]) // T] = r
+
+        data = {}
+        node_seg = np.full((N,), G, dtype=np.int32)
+        node_seg[:nodes_used] = batch.nodeSegment()[:nodes_used]
+        data["_node_segment"] = node_seg
+        edge_seg = np.full((E,), G, dtype=np.int32)
+        if has_edges and g_keep:
+            edge_seg[dest] = batch.edgeSegment()[:edges_real]
+        data["_edge_segment"] = edge_seg
+        node_mask = np.zeros((N, 1), np.float32)
+        node_mask[:nodes_used] = 1.0
+        data["_node_mask"] = node_mask
+        edge_mask = np.zeros((E, 1), np.float32)
+        if g_keep:
+            edge_mask[dest] = 1.0
+        data["_edge_mask"] = edge_mask
+        graph_mask = np.zeros((G, 1), np.float32)
+        graph_mask[:g_keep] = 1.0
+        data["_graph_mask"] = graph_mask
+
+        # per-tile window start (clamped so the window stays in bounds);
+        # trailing all-padding tiles window onto the dummy node so their
+        # (zero) messages and cotangents land exactly where the reference
+        # layout puts them
+        # starts are rounded down to a multiple of 8 (TPU sublane
+        # alignment for the kernel's dynamic window loads); graphs must
+        # therefore fit window-7 nodes
+        win0 = np.full(n_tiles, max(0, (N - window) // 8 * 8), np.int32)
+        for k in range(n_tiles):
+            r = tile_run[k]
+            if r >= 0:
+                w = min(int(node_ofs[run_first[r]]), max(0, N - window))
+                win0[k] = w // 8 * 8
+        data["_edge_tile_win"] = win0
+
+        # edge_index: padding edges point at their graph's first node (zero
+        # contribution — radial weights are masked) so the whole tile stays
+        # inside the window; trailing tiles point at the dummy node but get
+        # window 0 / local 0 with mask 0.
+        ei = np.full((2, E), dummy, dtype=np.int32)
+        # trailing slots: local index of the dummy node inside the trailing
+        # window [N - window, N)
+        src_local = np.full(E, min(window, N) - 1, np.int32)
+        dst_local = np.full(E, min(window, N) - 1, np.int32)
+        if g_keep:
+            orig = batch.data["edge_index"][:, :edges_real].astype(np.int64)
+            ei[:, dest] = orig
+            for r in range(len(runs)):
+                lo, hi = int(run_slot_ofs[r]), int(run_slot_ofs[r + 1])
+                n0 = int(node_ofs[run_first[r]])
+                ei[:, lo:hi][ei[:, lo:hi] == dummy] = n0
+            tile_of_slot = np.arange(E) // T
+            w = win0[tile_of_slot]
+            src_local[:slots_used] = ei[0, :slots_used] - w[:slots_used]
+            dst_local[:slots_used] = ei[1, :slots_used] - w[:slots_used]
+        data["edge_index"] = ei
+        data["_edge_src_local"] = src_local
+        data["_edge_dst_local"] = dst_local
+
+        def pad_to(a, rows, fill=0):
+            out = np.full((rows,) + a.shape[1:], fill, dtype=a.dtype)
+            out[: min(len(a), rows)] = a[: min(len(a), rows)]
+            return out
+
+        for key, value in batch.data.items():
+            if key in ("_node_segment", "_edge_segment", "edge_index"):
+                continue
+            per = batch.attrs.get(key, ("graph",))[0]
+            if np.issubdtype(value.dtype, np.floating):
+                value = value.astype(np.float32)
+            elif np.issubdtype(value.dtype, np.integer):
+                value = value.astype(np.int32)
+            if per == "node":
+                data[key] = pad_to(value[:nodes_used], N)
+            elif per == "edge":
+                out = np.zeros((E,) + value.shape[1:], value.dtype)
+                if g_keep:
+                    out[dest] = value[:edges_real]
+                data[key] = out
+            else:  # graph
+                data[key] = pad_to(value[:g_keep], G)
+
+        return cls(data, dict(batch.attrs), G, N, E, dropped=dropped)
+
     def to_batch(self) -> Batch:
         """Trim padding and return a host-side Batch (for dumps/analysis)."""
         data = {k: np.asarray(v) for k, v in self.data.items()}
         g = int(data["_graph_mask"][:, 0].sum())
         n = int(data["_node_mask"][:, 0].sum())
-        e = int(data["_edge_mask"][:, 0].sum())
+        # tile-aligned batches scatter real edges between padding; compact
+        # by mask (a prefix slice for the default layout, identical result)
+        e_sel = data["_edge_mask"][:, 0] > 0
         out = {}
         for key, value in data.items():
             if key.startswith("_") and key not in ("_n_nodes", "_n_edges"):
                 continue
             if key == "edge_index":
-                out[key] = value[:, :e].astype(np.int64)
+                out[key] = value[:, e_sel].astype(np.int64)
                 continue
             per = self.attrs.get(key, ("graph",))[0]
             if per == "node":
                 out[key] = value[:n]
             elif per == "edge":
-                out[key] = value[:e]
+                out[key] = value[e_sel]
             else:
                 out[key] = value[:g]
         return Batch(dict(self.attrs), **out)

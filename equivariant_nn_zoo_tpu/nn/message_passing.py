@@ -62,6 +62,7 @@ class FactorizedConvolution(Module):
         self.avg_num_neighbors = avg_num_neighbors
         self.use_sc = use_sc and ("node_attrs" in self.irreps_in)
         self.reduce = reduce
+        self.full_conv = None
 
         feature_irreps_in = Irreps(self.irreps_in["input_features"])
         feature_irreps_out = Irreps(self.irreps_out["output_features"])
@@ -127,20 +128,30 @@ class FactorizedConvolution(Module):
                 # gather/transpose wrapper still dominates; flips on by
                 # default once the in-kernel gather/scatter variant lands
                 if pallas is None:
-                    pallas = os.environ.get("E3_PALLAS", "0") == "1"
+                    pallas = os.environ.get("E3_PALLAS", "1") == "1"
                 self.fused_conv = None
+                self.full_conv = None
                 if pallas:
                     try:
                         import jax as _jax
 
-                        from ..ops.pallas.fused_conv import PallasUVUConv
+                        from ..ops.pallas.fused_conv import (
+                            PallasFullConv,
+                            PallasUVUConv,
+                        )
 
                         if _jax.default_backend() == "tpu":
-                            self.fused_conv = PallasUVUConv(
-                                self.tp, compute_dtype=cd
+                            # whole-conv kernel, used when the batch is
+                            # tile-aligned (GraphBatch edge_tile mode)
+                            self.full_conv = PallasFullConv(
+                                self.tp, self.fc, compute_dtype=cd
                             )
+                            if os.environ.get("E3_PALLAS_V1", "0") == "1":
+                                self.fused_conv = PallasUVUConv(
+                                    self.tp, compute_dtype=cd
+                                )
                     except Exception:
-                        self.fused_conv = None
+                        self.full_conv = None
                 if self.fused_conv is None:
                     self.fused_conv = FusedUVUConv(self.tp, compute_dtype=cd)
                 if self.use_sc:
@@ -157,7 +168,6 @@ class FactorizedConvolution(Module):
         # therefore every padded-edge message — cheaper than masking messages
         if "_edge_mask" in data:
             edge_radial = edge_radial * data["_edge_mask"]
-        weight = self.fc.apply(params["fc"], edge_radial)
         x = data["input_features"]
         edge_src = data["edge_index"][0]
         edge_dst = data["edge_index"][1]
@@ -170,6 +180,30 @@ class FactorizedConvolution(Module):
 
         x = self.linear_1.apply(params["linear_1"], x)
         tp_params = params["tp"]
+        if self.full_conv is not None and "_edge_tile_win" in data:
+            # whole-conv Pallas kernel: the radial MLP runs in-kernel, the
+            # gather/scatter are windowed one-hot matmuls over the
+            # tile-aligned batch layout
+            pre = (
+                1.0 / (self.avg_num_neighbors ** 0.5)
+                if self.avg_num_neighbors is not None
+                else None
+            )
+            out = self.full_conv(
+                params["fc"], tp_params["linear"], x, edge_radial,
+                data["edge_spherical"], data["_edge_tile_win"],
+                data["_edge_src_local"], data["_edge_dst_local"],
+                x.shape[0], pre_scale=pre,
+            )
+            if self.use_sc:
+                out = out + sc
+            is_per = attrs["input_features"][0]
+            return (
+                {"output_features": out},
+                {"output_features": (is_per,
+                                     self.irreps_out["output_features"])},
+            )
+        weight = self.fc.apply(params["fc"], edge_radial)
         if self.fused_conv is not None:
             pre = (
                 1.0 / (self.avg_num_neighbors ** 0.5)

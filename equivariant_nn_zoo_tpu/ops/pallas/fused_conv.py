@@ -491,3 +491,511 @@ class PallasUVUConv(FusedUVUConv):
         edge_out = edge_out.astype(cd)
         out = segment_sum(edge_out, edge_dst, num_nodes)
         return out.astype(out_dtype)
+
+
+class PallasFullConv(PallasUVUConv):
+    """Whole-convolution kernel: windowed gather + radial MLP + TP + mix +
+    windowed scatter, all in VMEM.
+
+    v1 (PallasUVUConv) still paid for edge-major HBM tensors around the
+    kernel: the gathered features [E, I*mul], the radial weights [E, P*mul]
+    and the mixed edge output [E, out_rows] (~400MB/layer at QM9 scale).
+    This variant keeps the node feature table and the node output
+    accumulator RESIDENT in VMEM and converts gather/scatter into one-hot
+    MXU matmuls over a per-tile node window:
+
+        G[e,:]    = sum_w onehot_src[w,e] * x[win0+w, :]     (gather)
+        acc[w,:] += sum_e onehot_dst[w,e] * out[e, :]        (scatter)
+
+    which requires the batch invariant provided by
+    ``GraphBatch.from_batch(..., edge_tile=T)``: every tile of T edges
+    belongs to a single graph whose nodes fit a W-node window
+    (``_edge_tile_win`` holds each tile's window start; ``_edge_src_local``
+    / ``_edge_dst_local`` are window-relative).  The radial MLP
+    (FullyConnectedNet, nn/mlp.py) runs per tile on the MXU, so its
+    [E, weight_numel] output never exists in HBM either.
+
+    Per layer-direction HBM traffic: x (once), sh, edge_radial, the node
+    output — ~45MB instead of ~1.2GB.
+    """
+
+    def __init__(self, tpe, fc, compute_dtype=jnp.bfloat16, tile: int = None,
+                 window: int = 128):
+        super().__init__(tpe, compute_dtype=compute_dtype, tile=tile)
+        self.window = window
+        self.fc = fc
+        self.fc_dims = list(fc.dims)
+        self.fc_act = fc.act
+        mul = self.mul
+        # last MLP layer columns in our path order: (p_ours, u) <- (p_tpe, u)
+        self._wcol_perm = jnp.asarray(
+            np.concatenate(
+                [np.arange(p * mul, (p + 1) * mul) for p in self._w_order]
+            )
+        )
+
+    # ---------------------------------------------------------- shared math
+    def _tp_mix(self, xb, sh, wt, C2v, wselTs):
+        """xb [I, mul*T], sh [J, T], wt [P, mul*T] -> (mid, outs [out_rows, T])."""
+        J, I, K, mul, T = (self.J_dim, self.I_dim, self.K_dim, self.mul,
+                           self.tile)
+        cd = self.compute_dtype
+        rows = []
+        for j in range(J):
+            srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
+            rows.append(srep * xb)
+        outer = jnp.concatenate(rows, axis=0)
+        mid = jax.lax.dot_general(
+            C2v.astype(cd), outer,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)
+        outs = []
+        for g, mx in enumerate(self._mix):
+            k0, npg, d = mx["k0"], mx["n_paths"], mx["d"]
+            wp = wt[self._w_path_slice(g)]
+            for dd in range(d):
+                blk = mid[k0 + dd * npg: k0 + (dd + 1) * npg, :] * wp
+                blk = blk.reshape(npg * mul, T)
+                outs.append(
+                    jax.lax.dot_general(
+                        wselTs[g], blk,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(cd)
+                )
+        return mid, jnp.concatenate(outs, axis=0)
+
+    def _mlp_fwd(self, er, Wvals):
+        """er [T, nb] -> (pre-activations list, w_edge [T, P*mul])."""
+        cd = self.compute_dtype
+        h = er.astype(cd)
+        pre = []
+        n = len(Wvals)
+        for i, Wm in enumerate(Wvals):
+            h = jax.lax.dot_general(
+                h, Wm.astype(cd),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pre.append(h)
+            if i < n - 1:
+                h = self.fc_act(h).astype(cd)
+        return pre, h.astype(cd)
+
+    # -------------------------------------------------------------- kernels
+    def _full_fwd_kernel(self):
+        import jax.experimental.pallas as pl
+
+        J, I, K, mul, T, W = (self.J_dim, self.I_dim, self.K_dim, self.mul,
+                              self.tile, self.window)
+        P = len(self.paths)
+        nW = len(self.fc_dims) - 1
+        G = len(self._mix)
+        cd = self.compute_dtype
+
+        def kernel(win0_ref, *args):
+            (srcl_ref, dstl_ref, x_ref, shT_ref, er_ref) = args[:5]
+            W_refs = args[5: 5 + nW]
+            C2_ref = args[5 + nW]
+            wselT_refs = args[6 + nW: 6 + nW + G]
+            acc_ref = args[6 + nW + G]
+
+            t = pl.program_id(0)
+            w0 = pl.multiple_of(win0_ref[t], 8)
+            xw = x_ref[pl.ds(w0, W), :].astype(cd)       # [W, I*mul]
+            srcl = srcl_ref[...]                          # [1, T] i32
+            dstl = dstl_ref[...]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
+            one_s = (iota == srcl).astype(cd)
+            one_d = (iota == dstl).astype(cd)
+            g_x = jax.lax.dot_general(
+                one_s, xw,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)                                  # [T, I*mul]
+            xb = jnp.transpose(g_x).reshape(I, mul * T)
+            _, w_edge = self._mlp_fwd(er_ref[...], [w[...] for w in W_refs])
+            wt = jnp.transpose(w_edge).reshape(P, mul * T)
+            _, O = self._tp_mix(xb, shT_ref[...].astype(cd), wt, C2_ref[...],
+                                [w[...] for w in wselT_refs])
+            Ot = jnp.transpose(O)                         # [T, out_rows]
+            contrib = jax.lax.dot_general(
+                one_d, Ot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                             # [W, out_rows]
+
+            @pl.when(t == 0)
+            def _():
+                acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+            cur = acc_ref[pl.ds(w0, W), :]
+            acc_ref[pl.ds(w0, W), :] = cur + contrib.astype(acc_ref.dtype)
+
+        return kernel
+
+    def _full_bwd_kernel(self):
+        import jax.experimental.pallas as pl
+
+        J, I, K, mul, T, W = (self.J_dim, self.I_dim, self.K_dim, self.mul,
+                              self.tile, self.window)
+        P = len(self.paths)
+        nW = len(self.fc_dims) - 1
+        G = len(self._mix)
+        cd = self.compute_dtype
+        mix = self._mix
+
+        def kernel(win0_ref, *args):
+            (srcl_ref, dstl_ref, x_ref, shT_ref, er_ref) = args[:5]
+            W_refs = args[5: 5 + nW]
+            C2_ref, C2T_ref = args[5 + nW: 7 + nW]
+            wsel_refs = args[7 + nW: 7 + nW + G]
+            gout_ref = args[7 + nW + G]
+            n_in = 8 + nW + G
+            dx_ref, dsh_ref, der_ref = args[n_in: n_in + 3]
+            dW_refs = args[n_in + 3: n_in + 3 + nW]
+            dwsel_refs = args[n_in + 3 + nW: n_in + 3 + nW + G]
+
+            t = pl.program_id(0)
+            w0 = pl.multiple_of(win0_ref[t], 8)
+            first = t == 0
+            xw = x_ref[pl.ds(w0, W), :].astype(cd)
+            srcl = srcl_ref[...]
+            dstl = dstl_ref[...]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
+            one_s = (iota == srcl).astype(cd)
+            one_d = (iota == dstl).astype(cd)
+            g_x = jax.lax.dot_general(
+                one_s, xw, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)
+            xb = jnp.transpose(g_x).reshape(I, mul * T)
+            sh = shT_ref[...].astype(cd)
+            Wvals = [w[...] for w in W_refs]
+            pre, w_edge = self._mlp_fwd(er_ref[...], Wvals)
+            wt = jnp.transpose(w_edge).reshape(P, mul * T)
+
+            # recompute outer/mid
+            rows = []
+            for j in range(J):
+                srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
+                rows.append(srep * xb)
+            outer = jnp.concatenate(rows, axis=0)
+            mid = jax.lax.dot_general(
+                C2_ref[...].astype(cd), outer,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)
+
+            # cotangent of the edge output, gathered per edge from nodes
+            gw = gout_ref[pl.ds(w0, W), :].astype(cd)     # [W, out_rows]
+            GO = jax.lax.dot_general(
+                one_d, gw, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)                                  # [T, out_rows]
+            gb = jnp.transpose(GO)                        # [out_rows, T]
+
+            dmid_blocks = []
+            dwt_blocks = {}
+            for g, mx in enumerate(mix):
+                k0, npg, d, Wg = mx["k0"], mx["n_paths"], mx["d"], mx["Wg"]
+                wp = wt[self._w_path_slice(g)]
+                ws_g = wsel_refs[g][...]
+                dws_acc = None
+                dw_acc = None
+                for dd in range(d):
+                    go_blk = gb[
+                        mx["out_row"] + dd * Wg: mx["out_row"] + (dd + 1) * Wg,
+                        :,
+                    ]
+                    mid_blk = mid[k0 + dd * npg: k0 + (dd + 1) * npg, :]
+                    w_blk = (mid_blk * wp).reshape(npg * mul, T)
+                    contribW = jax.lax.dot_general(
+                        w_blk, go_blk,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dws_acc = contribW if dws_acc is None else dws_acc + contribW
+                    dW3 = jax.lax.dot_general(
+                        ws_g, go_blk,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(cd).reshape(npg, mul * T)
+                    dmid_blocks.append(dW3 * wp)
+                    dwc = dW3 * mid_blk
+                    dw_acc = dwc if dw_acc is None else dw_acc + dwc
+                dwt_blocks[g] = dw_acc
+
+                @pl.when(first)
+                def _(g=g, dws_acc=dws_acc):
+                    dwsel_refs[g][...] = dws_acc
+
+                @pl.when(jnp.logical_not(first))
+                def _(g=g, dws_acc=dws_acc):
+                    dwsel_refs[g][...] = dwsel_refs[g][...] + dws_acc
+
+            dmid = jnp.concatenate(dmid_blocks, axis=0)
+            dwt = jnp.concatenate([dwt_blocks[g] for g in range(G)], axis=0)
+
+            # radial MLP backward (dwt [P, mul*T] -> d edge_radial + dW)
+            dw_edge = jnp.transpose(dwt.reshape(P * mul, T)).astype(cd)
+            h_ins = [er_ref[...].astype(cd)]
+            for i in range(nW - 1):
+                h_ins.append(self.fc_act(pre[i]).astype(cd))
+            dh = dw_edge                                   # [T, dims[-1]]
+            for i in reversed(range(nW)):
+                dWi = jax.lax.dot_general(
+                    h_ins[i], dh,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                          # [dims[i], dims[i+1]]
+
+                @pl.when(first)
+                def _(i=i, dWi=dWi):
+                    dW_refs[i][...] = dWi
+
+                @pl.when(jnp.logical_not(first))
+                def _(i=i, dWi=dWi):
+                    dW_refs[i][...] = dW_refs[i][...] + dWi
+
+                dh = jax.lax.dot_general(
+                    dh, Wvals[i].astype(cd),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(cd)                               # [T, dims[i]]
+                if i > 0:
+                    _, act_vjp = jax.vjp(self.fc_act, pre[i - 1])
+                    dh = act_vjp(dh.astype(pre[i - 1].dtype))[0].astype(cd)
+            der_ref[...] = dh.astype(der_ref.dtype)
+
+            douter = jax.lax.dot_general(
+                C2T_ref[...].astype(cd), dmid,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)
+
+            dxb = None
+            dsh_rows = []
+            for j in range(J):
+                srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
+                do_j = douter[j * I: (j + 1) * I, :]
+                c = srep * do_j
+                dxb = c if dxb is None else dxb + c
+                s = jnp.sum(do_j * xb, axis=0)
+                dsh_rows.append(jnp.sum(s.reshape(mul, T), axis=0,
+                                        keepdims=True))
+            dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0).astype(
+                dsh_ref.dtype
+            )
+            # scatter dx rows back into the window accumulator
+            dxT = jnp.transpose(dxb.reshape(I * mul, T))   # [T, I*mul]
+            contribX = jax.lax.dot_general(
+                one_s, dxT, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [W, I*mul]
+
+            @pl.when(first)
+            def _():
+                dx_ref[...] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
+
+            cur = dx_ref[pl.ds(w0, W), :]
+            dx_ref[pl.ds(w0, W), :] = cur + contribX.astype(dx_ref.dtype)
+
+        return kernel
+
+    # ------------------------------------------------------------ pallas op
+    def _make_pallas_fn(self, N, E, win0, srcl, dstl):
+        """Build the custom_vjp'd op closing over this call's edge layout."""
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        J, I, K, mul, T = (self.J_dim, self.I_dim, self.K_dim, self.mul,
+                           self.tile)
+        P = len(self.paths)
+        nb = self.fc_dims[0]
+        nW = len(self.fc_dims) - 1
+        G = len(self._mix)
+        cd = self.compute_dtype
+        C2 = self._C2
+        C2T = jnp.asarray(np.ascontiguousarray(np.asarray(self._C2).T))
+        out_rows = self.out_rows
+        fwd_kernel = self._full_fwd_kernel()
+        bwd_kernel = self._full_bwd_kernel()
+        interpret = _use_interpret()
+        grid = (E // T,)
+        n_tiles = E // T
+
+        def edge_spec(shape):
+            return pl.BlockSpec(shape, lambda t, *_: (0, t))
+
+        resident = pl.BlockSpec(None, lambda t, *_: (0, 0))
+
+        def run_fwd(x_nodes, shT, er, Ws, wselT):
+            gspec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),   # src local
+                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),   # dst local
+                    pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0)),
+                    edge_spec((J, T)),
+                    pl.BlockSpec((T, nb), lambda t, *_: (t, 0)),
+                ] + [
+                    pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in Ws
+                ] + [
+                    pl.BlockSpec((K, J * I), lambda t, *_: (0, 0)),
+                ] + [
+                    pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wselT
+                ],
+                out_specs=pl.BlockSpec((N, out_rows), lambda t, *_: (0, 0)),
+            )
+            return pl.pallas_call(
+                fwd_kernel,
+                grid_spec=gspec,
+                out_shape=jax.ShapeDtypeStruct((N, out_rows), jnp.float32),
+                interpret=interpret,
+                **_compiler_params(interpret),
+            )(win0, srcl, dstl, x_nodes, shT, er, *Ws, C2, *wselT)
+
+        def run_bwd(x_nodes, shT, er, Ws, wsel, gout):
+            gspec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),
+                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),
+                    pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0)),
+                    edge_spec((J, T)),
+                    pl.BlockSpec((T, nb), lambda t, *_: (t, 0)),
+                ] + [
+                    pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in Ws
+                ] + [
+                    pl.BlockSpec((K, J * I), lambda t, *_: (0, 0)),
+                    pl.BlockSpec((J * I, K), lambda t, *_: (0, 0)),
+                ] + [
+                    pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
+                ] + [
+                    pl.BlockSpec((N, out_rows), lambda t, *_: (0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0)),  # dx
+                    edge_spec((J, T)),                             # dsh
+                    pl.BlockSpec((T, nb), lambda t, *_: (t, 0)),       # der
+                ] + [
+                    pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in Ws
+                ] + [
+                    pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
+                ],
+            )
+            out_shapes = [
+                jax.ShapeDtypeStruct((N, I * mul), jnp.float32),
+                jax.ShapeDtypeStruct((J, E), cd),
+                jax.ShapeDtypeStruct((E, nb), jnp.float32),
+            ] + [
+                jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in Ws
+            ] + [
+                jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wsel
+            ]
+            return pl.pallas_call(
+                bwd_kernel,
+                grid_spec=gspec,
+                out_shape=out_shapes,
+                interpret=interpret,
+                **_compiler_params(interpret),
+            )(win0, srcl, dstl, x_nodes, shT, er, *Ws, C2, C2T, *wsel, gout)
+
+        @jax.custom_vjp
+        def f(x_nodes, shT, er, Ws, wselT, wsel):
+            return run_fwd(x_nodes, shT, er, Ws, wselT)
+
+        def f_fwd(x_nodes, shT, er, Ws, wselT, wsel):
+            return run_fwd(x_nodes, shT, er, Ws, wselT), (
+                x_nodes, shT, er, Ws, wsel
+            )
+
+        def f_bwd(res, gout):
+            x_nodes, shT, er, Ws, wsel = res
+            outs = run_bwd(x_nodes, shT, er, Ws, wsel, gout)
+            dx, dsh, der = outs[:3]
+            dWs = list(outs[3: 3 + len(Ws)])
+            dwsel = list(outs[3 + len(Ws):])
+            dwselT = [jnp.zeros((w.shape[1], w.shape[0]), w.dtype)
+                      for w in wsel]
+            return (
+                dx.astype(x_nodes.dtype), dsh, der.astype(er.dtype),
+                [d.astype(w.dtype) for d, w in zip(dWs, Ws)],
+                dwselT,
+                [d.astype(w.dtype) for d, w in zip(dwsel, wsel)],
+            )
+
+        f.defvjp(f_fwd, f_bwd)
+        return f
+
+    # ------------------------------------------------------------ interface
+    def __call__(self, fc_params, linear_params, x, edge_radial, sh,
+                 win0, src_local, dst_local, num_nodes: int,
+                 pre_scale=None, out_dtype=jnp.float32):
+        """Full conv on a tile-aligned batch; returns node features
+        [num_nodes, out_dim] (the segment-sum is internal)."""
+        cd = self.compute_dtype
+        E = sh.shape[0]
+        T = self.tile
+        mul, I = self.mul, self.I_dim
+        assert E % T == 0
+
+        # node table [N, (i, u)]
+        blocks = []
+        ofs = 0
+        for mi in self.irreps_in:
+            d = mi.ir.dim
+            b = x[:, ofs: ofs + mul * d].reshape(-1, mul, d)
+            blocks.append(jnp.transpose(b, (0, 2, 1)))   # [N, d, mul]
+            ofs += mul * d
+        x_nodes = jnp.concatenate(blocks, axis=1).reshape(
+            num_nodes, I * mul
+        ).astype(cd)
+
+        shT = jnp.transpose(sh, (1, 0)).astype(cd)
+        er = edge_radial.astype(jnp.float32)
+        Ws = []
+        for i in range(len(self.fc_dims) - 1):
+            w = fc_params[f"w{i}"] / (float(self.fc_dims[i]) ** 0.5)
+            Ws.append(w.astype(cd))
+        Ws[-1] = Ws[-1][:, self._wcol_perm]
+        wselT, wsel = self._prep_wsel(linear_params)
+        if pre_scale is not None:
+            wselT = [w * pre_scale for w in wselT]
+            wsel = [w * pre_scale for w in wsel]
+
+        srcl = src_local.reshape(1, E).astype(jnp.int32)
+        dstl = dst_local.reshape(1, E).astype(jnp.int32)
+        f = self._make_pallas_fn(num_nodes, E, win0.astype(jnp.int32),
+                                 srcl, dstl)
+        acc = f(x_nodes, shT, er, Ws, wselT, wsel)   # [N, out_rows] f32
+        # kernel rows (g, dd, io, u) -> irreps_out columns (io, u, dd) via
+        # dense slices + one transpose per (group, io) — an elementwise
+        # jnp.take gather here costs ~20x the bandwidth floor on TPU
+        acc = acc.astype(out_dtype)
+        per_io = {}
+        for g, mx in enumerate(self._mix):
+            Wg, d = mx["Wg"], mx["d"]
+            w_ofs = 0
+            for io, mo_mul in zip(mx["ios"], mx["muls"]):
+                cols = acc[:, mx["out_row"]: mx["out_row"] + d * Wg]
+                blk = cols.reshape(num_nodes, d, Wg)[
+                    :, :, w_ofs: w_ofs + mo_mul
+                ]                                     # [N, d, mul_out]
+                per_io[io] = jnp.transpose(blk, (0, 2, 1)).reshape(
+                    num_nodes, mo_mul * d
+                )
+                w_ofs += mo_mul
+        outs = []
+        for io, mo in enumerate(self.linear.irreps_out):
+            if io in per_io:
+                outs.append(per_io[io])
+            else:
+                outs.append(
+                    jnp.zeros((num_nodes, mo.mul * mo.ir.dim), out_dtype)
+                )
+        return jnp.concatenate(outs, axis=-1)

@@ -80,3 +80,119 @@ def test_pallas_under_jit():
     b = fused(lp, x, src, dst, sh, w, N)
     rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
     assert rel < 1e-5, rel
+
+
+# ---------------------------------------------------------------- tiled mode
+
+
+def make_tiled(seed=0, n_mol=6, T=32, W=32):
+    from equivariant_nn_zoo_tpu.data import Batch, Data, GraphBatch
+    from equivariant_nn_zoo_tpu.data.compute_edge import computeEdgeIndex
+
+    rng = np.random.default_rng(seed)
+    mols = []
+    for _ in range(n_mol):
+        n = int(rng.integers(5, 12))
+        d = {"pos": rng.normal(size=(n, 3)) * 1.2,
+             "species": rng.choice([1, 6, 7, 8], size=(n, 1))}
+        out, attrs = computeEdgeIndex(
+            d, {"pos": ("node", "1x1o"), "species": ("node", "1x0e")},
+            r_max=3.0,
+        )
+        d.update(out)
+        mols.append(Data(attrs, **d))
+    host = Batch.from_data_list(mols)
+    gb = GraphBatch.from_batch(host, 128, 512, n_mol, edge_tile=T, window=W)
+    assert gb.dropped == 0
+    return gb
+
+
+def test_tiled_graphbatch_invariants():
+    T, W = 32, 32
+    gb = make_tiled(T=T, W=W)
+    E = gb.edge_capacity
+    win = np.asarray(gb["_edge_tile_win"])
+    srcl = np.asarray(gb["_edge_src_local"])
+    dstl = np.asarray(gb["_edge_dst_local"])
+    ei = np.asarray(gb["edge_index"])
+    mask = np.asarray(gb["_edge_mask"])[:, 0]
+    seg = np.asarray(gb["_edge_segment"])
+    for k in range(E // T):
+        sl = slice(k * T, (k + 1) * T)
+        real = mask[sl] > 0
+        if real.any():
+            # locals consistent with globals and inside the window
+            np.testing.assert_array_equal(
+                srcl[sl][real] + win[k], ei[0, sl][real]
+            )
+            np.testing.assert_array_equal(
+                dstl[sl][real] + win[k], ei[1, sl][real]
+            )
+            assert srcl[sl].max() < W and dstl[sl].max() < W
+    # roundtrip drops padding correctly
+    back = gb.to_batch()
+    assert back.data["edge_index"].shape[1] == int(mask.sum())
+
+
+def setup_full(seed=0, T=32, W=32):
+    conv = FactorizedConvolution(**KW, fused=True, compute_dtype="float32")
+    params = conv.init(jax.random.PRNGKey(seed))
+    tpe, fc = conv.tp, conv.fc
+    from equivariant_nn_zoo_tpu.ops.pallas.fused_conv import PallasFullConv
+
+    full = PallasFullConv(tpe, fc, compute_dtype=jnp.float32, tile=T,
+                          window=W)
+    fused = FusedUVUConv(tpe, compute_dtype=jnp.float32)
+    gb = make_tiled(seed=seed, T=T, W=W)
+    rng = np.random.default_rng(seed + 1)
+    N, E = gb.node_capacity, gb.edge_capacity
+    x = jnp.asarray(rng.normal(size=(N, tpe.tp.irreps_in1.dim)), jnp.float32)
+    sh = jnp.asarray(rng.normal(size=(E, 9)), jnp.float32)
+    er = jnp.asarray(
+        rng.normal(size=(E, 8)) * np.asarray(gb["_edge_mask"]), jnp.float32
+    )
+    return conv, params, full, fused, fc, gb, x, sh, er, N
+
+
+def _ref_out(fused, fc, fcp, lp, x, sh, er, gb, N):
+    w = fc.apply(fcp, er, compute_dtype="float32")
+    src = jnp.asarray(gb["edge_index"][0])
+    dst = jnp.asarray(gb["edge_index"][1])
+    return fused(lp, x, src, dst, sh, w, N, pre_scale=0.5)
+
+
+def test_full_conv_forward_matches():
+    conv, params, full, fused, fc, gb, x, sh, er, N = setup_full()
+    lp, fcp = params["tp"]["linear"], params["fc"]
+    a = full(fcp, lp, x, er, sh, jnp.asarray(gb["_edge_tile_win"]),
+             jnp.asarray(gb["_edge_src_local"]),
+             jnp.asarray(gb["_edge_dst_local"]), N, pre_scale=0.5)
+    b = _ref_out(fused, fc, fcp, lp, x, sh, er, gb, N)
+    rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+    assert rel < 1e-5, rel
+
+
+def test_full_conv_grads_match():
+    conv, params, full, fused, fc, gb, x, sh, er, N = setup_full(seed=3)
+    lp, fcp = params["tp"]["linear"], params["fc"]
+    win = jnp.asarray(gb["_edge_tile_win"])
+    srcl = jnp.asarray(gb["_edge_src_local"])
+    dstl = jnp.asarray(gb["_edge_dst_local"])
+
+    def loss_full(fcp_, lp_, x_, sh_, er_):
+        out = full(fcp_, lp_, x_, er_, sh_, win, srcl, dstl, N,
+                   pre_scale=0.5)
+        return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
+                                     ).reshape(out.shape))
+
+    def loss_ref(fcp_, lp_, x_, sh_, er_):
+        out = _ref_out(fused, fc, fcp_, lp_, x_, sh_, er_, gb, N)
+        return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
+                                     ).reshape(out.shape))
+
+    ga = jax.grad(loss_full, argnums=(0, 1, 2, 3, 4))(fcp, lp, x, sh, er)
+    gb_ = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(fcp, lp, x, sh, er)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb_)):
+        denom = max(float(jnp.abs(b).max()), 1e-6)
+        assert float(jnp.abs(a - b).max()) / denom < 2e-4
