@@ -99,6 +99,9 @@ def featureModel(
         "use_sc": True,
         "invariant_layers": 3,
         "invariant_neurons": n_dim,
+        # node_attrs built by embedCategorial below is a pure per-species
+        # embedding, so the self-connection can use per-type tables
+        "sc_species_types": num_types,
     }
     mp = {
         "module": MessagePassing,

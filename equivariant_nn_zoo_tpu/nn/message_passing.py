@@ -48,6 +48,7 @@ class FactorizedConvolution(Module):
         reduce=True,
         fused: bool = None,
         pallas: bool = None,
+        sc_species_types: int = None,
         compute_dtype=None,
     ):
         super().__init__()
@@ -63,6 +64,7 @@ class FactorizedConvolution(Module):
         self.use_sc = use_sc and ("node_attrs" in self.irreps_in)
         self.reduce = reduce
         self.full_conv = None
+        self.species_sc = None
 
         feature_irreps_in = Irreps(self.irreps_in["input_features"])
         feature_irreps_out = Irreps(self.irreps_out["output_features"])
@@ -124,9 +126,6 @@ class FactorizedConvolution(Module):
                 # NLL-score heads need second-order autodiff, which the
                 # kernel's custom VJP does not provide — those layers are
                 # built with pallas=False by the config builders).
-                # default off: at real QM9 edge counts the XLA-side
-                # gather/transpose wrapper still dominates; flips on by
-                # default once the in-kernel gather/scatter variant lands
                 if pallas is None:
                     pallas = os.environ.get("E3_PALLAS", "1") == "1"
                 self.fused_conv = None
@@ -146,6 +145,19 @@ class FactorizedConvolution(Module):
                             self.full_conv = PallasFullConv(
                                 self.tp, self.fc, compute_dtype=cd
                             )
+                            if self.use_sc and sc_species_types:
+                                # node_attrs is a pure species embedding
+                                # (featureModel guarantee): per-type tables
+                                # instead of per-node conditioning matrices
+                                from ..ops.pallas.sc import SpeciesScalarFCTP
+
+                                try:
+                                    self.species_sc = SpeciesScalarFCTP(
+                                        self.sc, sc_species_types,
+                                        compute_dtype=cd,
+                                    )
+                                except AssertionError:
+                                    self.species_sc = None
                             if os.environ.get("E3_PALLAS_V1", "0") == "1":
                                 self.fused_conv = PallasUVUConv(
                                     self.tp, compute_dtype=cd
@@ -173,7 +185,15 @@ class FactorizedConvolution(Module):
         edge_dst = data["edge_index"][1]
 
         if self.use_sc:
-            if self.fused_sc is not None:
+            if (
+                self.species_sc is not None
+                and "species" in data
+                and x.shape[0] % self.species_sc.tile == 0
+            ):
+                sc = self.species_sc.apply(
+                    params["sc"], x, data["node_attrs"], data["species"]
+                )
+            elif self.fused_sc is not None:
                 sc = self.fused_sc.apply(params["sc"], x, data["node_attrs"])
             else:
                 sc = self.sc.apply(params["sc"], x, data["node_attrs"])

@@ -196,3 +196,52 @@ def test_full_conv_grads_match():
                     jax.tree_util.tree_leaves(gb_)):
         denom = max(float(jnp.abs(b).max()), 1e-6)
         assert float(jnp.abs(a - b).max()) / denom < 2e-4
+
+
+def test_species_sc_matches_fused():
+    """SpeciesScalarFCTP == FusedScalarFCTP when attrs are species-pure,
+    including gradients at the embedding-table level."""
+    from equivariant_nn_zoo_tpu.ops.fused_tp import FusedScalarFCTP
+    from equivariant_nn_zoo_tpu.ops.pallas.sc import SpeciesScalarFCTP
+    from equivariant_nn_zoo_tpu.ops.irreps import Irreps
+    from equivariant_nn_zoo_tpu.ops.tensor_product import fully_connected_tp
+
+    rng = np.random.default_rng(0)
+    N, types, m2 = 64, 5, 16
+    feats = Irreps("8x0e+8x1o+8x2e")
+    sc = fully_connected_tp(feats, Irreps(f"{m2}x0e"), feats)
+    n_w = sum(int(np.prod(sc._weight_shape(i))) for i in sc.instructions)
+    params = {"weight": jnp.asarray(rng.normal(size=(n_w,)), jnp.float32)}
+    table = jnp.asarray(rng.normal(size=(types, m2)), jnp.float32)
+    spec = jnp.asarray(rng.integers(0, types, size=(N, 1)), jnp.int32)
+    x = jnp.asarray(rng.normal(size=(N, feats.dim)), jnp.float32)
+
+    fast = FusedScalarFCTP(sc, compute_dtype=jnp.float32)
+    spk = SpeciesScalarFCTP(sc, types, compute_dtype=jnp.float32, tile=32)
+
+    def out_fast(w, x_, tb):
+        attrs = tb[spec[:, 0]]
+        return fast.apply({"weight": w}, x_, attrs)
+
+    def out_spk(w, x_, tb):
+        attrs = tb[spec[:, 0]]
+        return spk.apply({"weight": w}, x_, attrs, spec)
+
+    a = out_spk(params["weight"], x, table)
+    b = out_fast(params["weight"], x, table)
+    rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+    assert rel < 1e-5, rel
+
+    def loss(fn, w, x_, tb):
+        o = fn(w, x_, tb)
+        return jnp.sum(o * jnp.cos(0.05 * jnp.arange(o.size)).reshape(o.shape))
+
+    ga = jax.grad(lambda *args: loss(out_spk, *args), argnums=(0, 1, 2))(
+        params["weight"], x, table
+    )
+    gb = jax.grad(lambda *args: loss(out_fast, *args), argnums=(0, 1, 2))(
+        params["weight"], x, table
+    )
+    for u, v in zip(ga, gb):
+        denom = max(float(jnp.abs(v).max()), 1e-6)
+        assert float(jnp.abs(u - v).max()) / denom < 1e-4
