@@ -336,6 +336,22 @@ class GraphBatch:
                 w = min(int(node_ofs[run_first[r]]), max(0, N - window))
                 win0[k] = w // 8 * 8
         data["_edge_tile_win"] = win0
+        # run boundaries for the kernel's window accumulator: a tile is
+        # "first" when it starts a run (scratch reset) and "last" when it
+        # ends one (per-window mix flush); trailing all-padding tiles never
+        # flush (their zero contributions have nowhere real to go)
+        tile_last = np.zeros(n_tiles, np.int32)
+        for k in range(n_tiles):
+            if tile_run[k] >= 0 and (
+                k == n_tiles - 1 or tile_run[k + 1] != tile_run[k]
+            ):
+                tile_last[k] = 1
+        tile_first = np.zeros(n_tiles, np.int32)
+        if n_tiles:
+            tile_first[0] = 1
+            tile_first[1:] = tile_last[:-1]
+        data["_edge_tile_first"] = tile_first
+        data["_edge_tile_last"] = tile_last
 
         # edge_index: padding edges point at their graph's first node (zero
         # contribution — radial weights are masked) so the whole tile stays

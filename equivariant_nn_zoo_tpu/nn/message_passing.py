@@ -200,7 +200,7 @@ class FactorizedConvolution(Module):
 
         x = self.linear_1.apply(params["linear_1"], x)
         tp_params = params["tp"]
-        if self.full_conv is not None and "_edge_tile_win" in data:
+        if self.full_conv is not None and "_edge_tile_last" in data:
             # whole-conv Pallas kernel: the radial MLP runs in-kernel, the
             # gather/scatter are windowed one-hot matmuls over the
             # tile-aligned batch layout
@@ -212,6 +212,7 @@ class FactorizedConvolution(Module):
             out = self.full_conv(
                 params["fc"], tp_params["linear"], x, edge_radial,
                 data["edge_spherical"], data["_edge_tile_win"],
+                data["_edge_tile_first"], data["_edge_tile_last"],
                 data["_edge_src_local"], data["_edge_dst_local"],
                 x.shape[0], pre_scale=pre,
             )

@@ -511,9 +511,23 @@ class PallasFullConv(PallasUVUConv):
     ``GraphBatch.from_batch(..., edge_tile=T)``: every tile of T edges
     belongs to a single graph whose nodes fit a W-node window
     (``_edge_tile_win`` holds each tile's window start; ``_edge_src_local``
-    / ``_edge_dst_local`` are window-relative).  The radial MLP
+    / ``_edge_dst_local`` are window-relative; ``_edge_tile_first`` /
+    ``_edge_tile_last`` mark run boundaries).  The radial MLP
     (FullyConnectedNet, nn/mlp.py) runs per tile on the MXU, so its
     [E, weight_numel] output never exists in HBM either.
+
+    Mix placement (the key deviation from the per-edge docstring above):
+    measured on v5e, 32 per-(group,component) mix dots per edge tile are
+    ~10%-efficient (M=64, N=128) and dominated the kernel.  Instead the
+    UNMIXED weighted TP (width K*mul) is scattered into a per-window VMEM
+    accumulator — one clean MXU matmul per tile — and the mix dots run once
+    per node window (the tiles of a "run" share one window, so the flush
+    fires at each run's last tile; ~12x fewer mix dots at QM9 density).
+    This is the in-VMEM analogue of the XLA path's mix-after-scatter trick.
+    The single per-tile relayout [K, mul*T] -> [K*mul, T] splits the wide
+    TP output to edge-minor rows; the radial-weight factor is assembled in
+    that layout from 64-aligned row-block concats of the MLP output
+    transpose (free register stacking).
 
     Per layer-direction HBM traffic: x (once), sh, edge_radial, the node
     output — ~45MB instead of ~1.2GB.
@@ -584,6 +598,38 @@ class PallasFullConv(PallasUVUConv):
         return pre, h.astype(cd)
 
     # -------------------------------------------------------------- kernels
+    def _tp_mid2(self, xb, sh, wT2, C2v):
+        """xb [I, mul*T], sh [J, T], wT2 [P*mul, T] (rows (path,u)) ->
+        (mid2, wt2, w2d), all [K*mul, T] with rows (k, u).
+
+        The TP intermediate leaves the MXU in the wide (u, e)-minor layout;
+        ONE relayout splits it to edge-minor rows, and the radial-weight
+        factor is assembled purely from 64-aligned row-block concats of the
+        MLP output transpose (free register stacking, no wide-layout
+        broadcast materialization)."""
+        J, I, K, mul, T = (self.J_dim, self.I_dim, self.K_dim, self.mul,
+                           self.tile)
+        cd = self.compute_dtype
+        rows = []
+        for j in range(J):
+            srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
+            rows.append(srep * xb)
+        outer = jnp.concatenate(rows, axis=0)
+        mid = jax.lax.dot_general(
+            C2v.astype(cd), outer,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)                                      # [K, mul*T]
+        mid2 = mid.reshape(K * mul, T)                    # the one relayout
+        parts = []
+        for g, mx in enumerate(self._mix):
+            npg, d = mx["n_paths"], mx["d"]
+            p0 = self.groups[g][4]
+            blk = wT2[p0 * mul: (p0 + npg) * mul, :]      # [npg*mul, T]
+            parts.extend([blk] * d)
+        wt2 = jnp.concatenate(parts, axis=0)              # [K*mul, T]
+        return mid2, wt2, mid2 * wt2
+
     def _full_fwd_kernel(self):
         import jax.experimental.pallas as pl
 
@@ -593,13 +639,15 @@ class PallasFullConv(PallasUVUConv):
         nW = len(self.fc_dims) - 1
         G = len(self._mix)
         cd = self.compute_dtype
+        mix = self._mix
 
-        def kernel(win0_ref, *args):
+        def kernel(win0_ref, first_ref, last_ref, *args):
             (srcl_ref, dstl_ref, x_ref, shT_ref, er_ref) = args[:5]
             W_refs = args[5: 5 + nW]
             C2_ref = args[5 + nW]
-            wselT_refs = args[6 + nW: 6 + nW + G]
+            wsel_refs = args[6 + nW: 6 + nW + G]
             acc_ref = args[6 + nW + G]
+            accw_ref = args[7 + nW + G]                   # scratch [W, K*mul]
 
             t = pl.program_id(0)
             w0 = pl.multiple_of(win0_ref[t], 8)
@@ -616,22 +664,52 @@ class PallasFullConv(PallasUVUConv):
             ).astype(cd)                                  # [T, I*mul]
             xb = jnp.transpose(g_x).reshape(I, mul * T)
             _, w_edge = self._mlp_fwd(er_ref[...], [w[...] for w in W_refs])
-            wt = jnp.transpose(w_edge).reshape(P, mul * T)
-            _, O = self._tp_mix(xb, shT_ref[...].astype(cd), wt, C2_ref[...],
-                                [w[...] for w in wselT_refs])
-            Ot = jnp.transpose(O)                         # [T, out_rows]
+            wT2 = jnp.transpose(w_edge)                   # [P*mul, T]
+            _, _, w2d = self._tp_mid2(
+                xb, shT_ref[...].astype(cd), wT2, C2_ref[...]
+            )
+            # scatter the UNMIXED weighted TP into the window accumulator:
+            # one MXU-shaped matmul (M = K*mul) instead of 32 mix-width ones
+            # — the mix runs once per window at the run's last tile below.
+            # K*mul-major scratch keeps every big dot in clean MXU
+            # orientation (contraction on A's minor / B's major axis).
             contrib = jax.lax.dot_general(
-                one_d, Ot,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                w2d, one_d,
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                             # [W, out_rows]
+            ).astype(cd)                                  # [K*mul, W]
 
             @pl.when(t == 0)
             def _():
                 acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-            cur = acc_ref[pl.ds(w0, W), :]
-            acc_ref[pl.ds(w0, W), :] = cur + contrib.astype(acc_ref.dtype)
+            @pl.when(first_ref[t] == 1)
+            def _():
+                accw_ref[...] = contrib
+
+            @pl.when(first_ref[t] == 0)
+            def _():
+                accw_ref[...] = accw_ref[...] + contrib
+
+            @pl.when(last_ref[t] == 1)
+            def _():
+                accw = accw_ref[...].astype(cd)
+                outs = []
+                for g, mx in enumerate(mix):
+                    k0, npg, d = mx["k0"], mx["n_paths"], mx["d"]
+                    ws_g = wsel_refs[g][...]
+                    for dd in range(d):
+                        c0 = (k0 + dd * npg) * mul
+                        outs.append(
+                            jax.lax.dot_general(
+                                accw[c0: c0 + npg * mul, :], ws_g,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                        )                                 # [W, Wg]
+                full = jnp.concatenate(outs, axis=1)      # [W, out_rows]
+                cur = acc_ref[pl.ds(w0, W), :]
+                acc_ref[pl.ds(w0, W), :] = cur + full.astype(acc_ref.dtype)
 
         return kernel
 
@@ -646,7 +724,7 @@ class PallasFullConv(PallasUVUConv):
         cd = self.compute_dtype
         mix = self._mix
 
-        def kernel(win0_ref, *args):
+        def kernel(win0_ref, first_ref, last_ref, *args):
             (srcl_ref, dstl_ref, x_ref, shT_ref, er_ref) = args[:5]
             W_refs = args[5: 5 + nW]
             C2_ref, C2T_ref = args[5 + nW: 7 + nW]
@@ -656,10 +734,47 @@ class PallasFullConv(PallasUVUConv):
             dx_ref, dsh_ref, der_ref = args[n_in: n_in + 3]
             dW_refs = args[n_in + 3: n_in + 3 + nW]
             dwsel_refs = args[n_in + 3 + nW: n_in + 3 + nW + G]
+            dwin_ref, accw_ref = args[n_in + 3 + nW + G:]  # scratch [K*mul, W]
 
             t = pl.program_id(0)
             w0 = pl.multiple_of(win0_ref[t], 8)
-            first = t == 0
+
+            @pl.when(t == 0)
+            def _():
+                dx_ref[...] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
+                for i in range(nW):
+                    dW_refs[i][...] = jnp.zeros(
+                        dW_refs[i].shape, dW_refs[i].dtype
+                    )
+                for g in range(G):
+                    dwsel_refs[g][...] = jnp.zeros(
+                        dwsel_refs[g].shape, dwsel_refs[g].dtype
+                    )
+
+            # per-window upstream cotangent of the UNMIXED accumulator:
+            # dwin[(k,u), w] = sum_{io,u'} wsel gout[w0+w, ...] — computed
+            # once per run (the mix weights are per-window constants)
+            @pl.when(first_ref[t] == 1)
+            def _():
+                gw = gout_ref[pl.ds(w0, W), :].astype(cd)
+                blocks = []
+                for g, mx in enumerate(mix):
+                    Wg, d = mx["Wg"], mx["d"]
+                    ws_g = wsel_refs[g][...]
+                    for dd in range(d):
+                        r0 = mx["out_row"] + dd * Wg
+                        blocks.append(
+                            jax.lax.dot_general(
+                                ws_g, gw[:, r0: r0 + Wg],
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                        )                                  # [npg*mul, W]
+                dwin_ref[...] = jnp.concatenate(blocks, axis=0).astype(
+                    dwin_ref.dtype
+                )
+                accw_ref[...] = jnp.zeros(accw_ref.shape, accw_ref.dtype)
+
             xw = x_ref[pl.ds(w0, W), :].astype(cd)
             srcl = srcl_ref[...]
             dstl = dstl_ref[...]
@@ -674,72 +789,65 @@ class PallasFullConv(PallasUVUConv):
             sh = shT_ref[...].astype(cd)
             Wvals = [w[...] for w in W_refs]
             pre, w_edge = self._mlp_fwd(er_ref[...], Wvals)
-            wt = jnp.transpose(w_edge).reshape(P, mul * T)
+            wT2 = jnp.transpose(w_edge)                    # [P*mul, T]
 
-            # recompute outer/mid
-            rows = []
-            for j in range(J):
-                srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
-                rows.append(srep * xb)
-            outer = jnp.concatenate(rows, axis=0)
-            mid = jax.lax.dot_general(
-                C2_ref[...].astype(cd), outer,
+            # recompute forward intermediates (remat)
+            mid2, wt2, w2d = self._tp_mid2(xb, sh, wT2, C2_ref[...])
+            contrib = jax.lax.dot_general(
+                w2d, one_d,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)                                   # [K*mul, W]
+            accw_ref[...] = accw_ref[...] + contrib
+
+            # per-edge cotangent of the weighted TP, via the window gather
+            dw2d = jax.lax.dot_general(
+                dwin_ref[...], one_d,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(cd)
+            ).astype(cd)                                   # [K*mul, T]
 
-            # cotangent of the edge output, gathered per edge from nodes
-            gw = gout_ref[pl.ds(w0, W), :].astype(cd)     # [W, out_rows]
-            GO = jax.lax.dot_general(
-                one_d, gw, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(cd)                                  # [T, out_rows]
-            gb = jnp.transpose(GO)                        # [out_rows, T]
-
-            dmid_blocks = []
+            # radial-weight cotangent: rows (k,u) -> sum components per path
+            dwp2 = dw2d * mid2
             dwt_blocks = {}
             for g, mx in enumerate(mix):
-                k0, npg, d, Wg = mx["k0"], mx["n_paths"], mx["d"], mx["Wg"]
-                wp = wt[self._w_path_slice(g)]
-                ws_g = wsel_refs[g][...]
-                dws_acc = None
+                k0, npg, d = mx["k0"], mx["n_paths"], mx["d"]
                 dw_acc = None
                 for dd in range(d):
-                    go_blk = gb[
-                        mx["out_row"] + dd * Wg: mx["out_row"] + (dd + 1) * Wg,
-                        :,
-                    ]
-                    mid_blk = mid[k0 + dd * npg: k0 + (dd + 1) * npg, :]
-                    w_blk = (mid_blk * wp).reshape(npg * mul, T)
-                    contribW = jax.lax.dot_general(
-                        w_blk, go_blk,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    dws_acc = contribW if dws_acc is None else dws_acc + contribW
-                    dW3 = jax.lax.dot_general(
-                        ws_g, go_blk,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ).astype(cd).reshape(npg, mul * T)
-                    dmid_blocks.append(dW3 * wp)
-                    dwc = dW3 * mid_blk
-                    dw_acc = dwc if dw_acc is None else dw_acc + dwc
-                dwt_blocks[g] = dw_acc
+                    r0 = (k0 + dd * npg) * mul
+                    blk = dwp2[r0: r0 + npg * mul, :]
+                    dw_acc = blk if dw_acc is None else dw_acc + blk
+                dwt_blocks[g] = dw_acc                     # [npg*mul, T]
 
-                @pl.when(first)
-                def _(g=g, dws_acc=dws_acc):
-                    dwsel_refs[g][...] = dws_acc
+            # mix-weight gradients once per window, from the (recomputed)
+            # forward accumulator: dwsel_g = accw_g^T @ gout_window
+            @pl.when(last_ref[t] == 1)
+            def _():
+                accw = accw_ref[...].astype(cd)
+                gw = gout_ref[pl.ds(w0, W), :].astype(cd)
+                for g, mx in enumerate(mix):
+                    k0, npg, d, Wg = (mx["k0"], mx["n_paths"], mx["d"],
+                                      mx["Wg"])
+                    dws = None
+                    for dd in range(d):
+                        c0 = (k0 + dd * npg) * mul
+                        r0 = mx["out_row"] + dd * Wg
+                        c = jax.lax.dot_general(
+                            accw[c0: c0 + npg * mul, :], gw[:, r0: r0 + Wg],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                                  # [npg*mul, Wg]
+                        dws = c if dws is None else dws + c
+                    dwsel_refs[g][...] = dwsel_refs[g][...] + dws
 
-                @pl.when(jnp.logical_not(first))
-                def _(g=g, dws_acc=dws_acc):
-                    dwsel_refs[g][...] = dwsel_refs[g][...] + dws_acc
+            # TP-intermediate cotangent back to the wide layout for C2^T
+            dmid = (dw2d * wt2).reshape(K, mul * T)
+            dwT2 = jnp.concatenate(
+                [dwt_blocks[g] for g in range(G)], axis=0
+            )                                              # [P*mul, T]
 
-            dmid = jnp.concatenate(dmid_blocks, axis=0)
-            dwt = jnp.concatenate([dwt_blocks[g] for g in range(G)], axis=0)
-
-            # radial MLP backward (dwt [P, mul*T] -> d edge_radial + dW)
-            dw_edge = jnp.transpose(dwt.reshape(P * mul, T)).astype(cd)
+            # radial MLP backward (dwT2 -> d edge_radial + dW)
+            dw_edge = jnp.transpose(dwT2).astype(cd)
             h_ins = [er_ref[...].astype(cd)]
             for i in range(nW - 1):
                 h_ins.append(self.fc_act(pre[i]).astype(cd))
@@ -750,15 +858,7 @@ class PallasFullConv(PallasUVUConv):
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                          # [dims[i], dims[i+1]]
-
-                @pl.when(first)
-                def _(i=i, dWi=dWi):
-                    dW_refs[i][...] = dWi
-
-                @pl.when(jnp.logical_not(first))
-                def _(i=i, dWi=dWi):
-                    dW_refs[i][...] = dW_refs[i][...] + dWi
-
+                dW_refs[i][...] = dW_refs[i][...] + dWi
                 dh = jax.lax.dot_general(
                     dh, Wvals[i].astype(cd),
                     dimension_numbers=(((1,), (1,)), ((), ())),
@@ -794,18 +894,13 @@ class PallasFullConv(PallasUVUConv):
                 one_s, dxT, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                              # [W, I*mul]
-
-            @pl.when(first)
-            def _():
-                dx_ref[...] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
-
             cur = dx_ref[pl.ds(w0, W), :]
             dx_ref[pl.ds(w0, W), :] = cur + contribX.astype(dx_ref.dtype)
 
         return kernel
 
     # ------------------------------------------------------------ pallas op
-    def _make_pallas_fn(self, N, E, win0, srcl, dstl):
+    def _make_pallas_fn(self, N, E, win0, tile_first, tile_last, srcl, dstl):
         """Build the custom_vjp'd op closing over this call's edge layout."""
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -816,6 +911,7 @@ class PallasFullConv(PallasUVUConv):
         nb = self.fc_dims[0]
         nW = len(self.fc_dims) - 1
         G = len(self._mix)
+        W = self.window
         cd = self.compute_dtype
         C2 = self._C2
         C2T = jnp.asarray(np.ascontiguousarray(np.asarray(self._C2).T))
@@ -829,11 +925,9 @@ class PallasFullConv(PallasUVUConv):
         def edge_spec(shape):
             return pl.BlockSpec(shape, lambda t, *_: (0, t))
 
-        resident = pl.BlockSpec(None, lambda t, *_: (0, 0))
-
-        def run_fwd(x_nodes, shT, er, Ws, wselT):
+        def run_fwd(x_nodes, shT, er, Ws, wsel):
             gspec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=3,
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec((1, T), lambda t, *_: (0, t)),   # src local
@@ -846,9 +940,10 @@ class PallasFullConv(PallasUVUConv):
                 ] + [
                     pl.BlockSpec((K, J * I), lambda t, *_: (0, 0)),
                 ] + [
-                    pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wselT
+                    pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
                 ],
                 out_specs=pl.BlockSpec((N, out_rows), lambda t, *_: (0, 0)),
+                scratch_shapes=[pltpu.VMEM((K * mul, W), cd)],
             )
             return pl.pallas_call(
                 fwd_kernel,
@@ -856,11 +951,12 @@ class PallasFullConv(PallasUVUConv):
                 out_shape=jax.ShapeDtypeStruct((N, out_rows), jnp.float32),
                 interpret=interpret,
                 **_compiler_params(interpret),
-            )(win0, srcl, dstl, x_nodes, shT, er, *Ws, C2, *wselT)
+            )(win0, tile_first, tile_last, srcl, dstl, x_nodes, shT, er,
+              *Ws, C2, *wsel)
 
         def run_bwd(x_nodes, shT, er, Ws, wsel, gout):
             gspec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=3,
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec((1, T), lambda t, *_: (0, t)),
@@ -887,6 +983,10 @@ class PallasFullConv(PallasUVUConv):
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
                 ],
+                scratch_shapes=[
+                    pltpu.VMEM((K * mul, W), cd),             # dwin
+                    pltpu.VMEM((K * mul, W), cd),             # accw (remat)
+                ],
             )
             out_shapes = [
                 jax.ShapeDtypeStruct((N, I * mul), jnp.float32),
@@ -903,14 +1003,15 @@ class PallasFullConv(PallasUVUConv):
                 out_shape=out_shapes,
                 interpret=interpret,
                 **_compiler_params(interpret),
-            )(win0, srcl, dstl, x_nodes, shT, er, *Ws, C2, C2T, *wsel, gout)
+            )(win0, tile_first, tile_last, srcl, dstl, x_nodes, shT, er,
+              *Ws, C2, C2T, *wsel, gout)
 
         @jax.custom_vjp
         def f(x_nodes, shT, er, Ws, wselT, wsel):
-            return run_fwd(x_nodes, shT, er, Ws, wselT)
+            return run_fwd(x_nodes, shT, er, Ws, wsel)
 
         def f_fwd(x_nodes, shT, er, Ws, wselT, wsel):
-            return run_fwd(x_nodes, shT, er, Ws, wselT), (
+            return run_fwd(x_nodes, shT, er, Ws, wsel), (
                 x_nodes, shT, er, Ws, wsel
             )
 
@@ -920,6 +1021,8 @@ class PallasFullConv(PallasUVUConv):
             dx, dsh, der = outs[:3]
             dWs = list(outs[3: 3 + len(Ws)])
             dwsel = list(outs[3 + len(Ws):])
+            # the mix gradient is returned on the (untransposed) wsel leg —
+            # the primal only reads wsel, so wselT's cotangent is zero
             dwselT = [jnp.zeros((w.shape[1], w.shape[0]), w.dtype)
                       for w in wsel]
             return (
@@ -934,8 +1037,8 @@ class PallasFullConv(PallasUVUConv):
 
     # ------------------------------------------------------------ interface
     def __call__(self, fc_params, linear_params, x, edge_radial, sh,
-                 win0, src_local, dst_local, num_nodes: int,
-                 pre_scale=None, out_dtype=jnp.float32):
+                 win0, tile_first, tile_last, src_local, dst_local,
+                 num_nodes: int, pre_scale=None, out_dtype=jnp.float32):
         """Full conv on a tile-aligned batch; returns node features
         [num_nodes, out_dim] (the segment-sum is internal)."""
         cd = self.compute_dtype
@@ -971,6 +1074,8 @@ class PallasFullConv(PallasUVUConv):
         srcl = src_local.reshape(1, E).astype(jnp.int32)
         dstl = dst_local.reshape(1, E).astype(jnp.int32)
         f = self._make_pallas_fn(num_nodes, E, win0.astype(jnp.int32),
+                                 tile_first.astype(jnp.int32),
+                                 tile_last.astype(jnp.int32),
                                  srcl, dstl)
         acc = f(x_nodes, shT, er, Ws, wselT, wsel)   # [N, out_rows] f32
         # kernel rows (g, dd, io, u) -> irreps_out columns (io, u, dd) via

@@ -98,6 +98,7 @@ class Trainer:
         profiling: bool = False,
         log_period: int = 50,
         save_period: int = 1,
+        watch_freq: int = 0,
         mesh=None,
         **kwargs,
     ):
@@ -109,7 +110,7 @@ class Trainer:
             "lr_scheduler_name optimizer_name max_gradient_norm use_ema "
             "ema_decay ema_use_num_updates batch_size train_idcs val_idcs "
             "epoch_subdivision equivariance_test profiling log_period "
-            "save_period"
+            "save_period watch_freq"
         ).split():
             setattr(self, key, locals()[key])
 
@@ -300,6 +301,8 @@ class Trainer:
                 loss, contrib = loss_obj(out.data, batch.data)
                 return loss, contrib, select(out.data, batch)
 
+        watch = bool(self.watch_freq)
+
         def train_step(params, opt_state, ema, batch):
             def loss_fn(p):
                 loss, contrib, out = forward(p, batch)
@@ -312,7 +315,10 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             if use_ema:
                 ema = ema_update(ema, params)
-            return params, opt_state, ema, loss, contrib, out
+            # wandb.watch parity: keep the raw gradients as a step output so
+            # the watch hook can histogram them (reference: trainer.py:905-907)
+            aux = grads if watch else ()
+            return params, opt_state, ema, loss, contrib, out, aux
 
         def eval_step(params, batch):
             loss, contrib, out = forward(params, batch)
@@ -340,11 +346,52 @@ class Trainer:
                 loss,
                 contrib,
                 out,
+                grads,
             ) = self._train_step(self.params, self.opt_state, self.ema, data)
+            if self.watch_freq:
+                self._watch_count = getattr(self, "_watch_count", 0) + 1
+                if self._watch_count % self.watch_freq == 0:
+                    self.watch_log(grads)
         if self.equivariance_test:
             self.equivarianceTest(out, data)
         self.batch_losses = self.loss_stat(loss, contrib)
         self.batch_metrics = self.metrics(pred=out, ref=data.data)
+
+    # ------------------------------------------------------ wandb.watch hook
+
+    def watch_stats(self, grads):
+        """Per-leaf parameter/gradient norms and histograms — the
+        `wandb.watch(model)` equivalent (reference: trainer.py:905-907).
+
+        Returns a flat dict: `parameters/<path>` / `gradients/<path>` map to
+        `(counts, bin_edges)` numpy histograms, `*_norm` to scalars.
+        """
+        stats = {}
+
+        def add(prefix, tree):
+            leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+            for path, leaf in leaves:
+                name = jax.tree_util.keystr(path).strip(".[]'\"").replace(
+                    "']['", "."
+                )
+                arr = np.asarray(jax.device_get(leaf), np.float32).ravel()
+                if arr.size == 0:
+                    continue
+                stats[f"{prefix}/{name}_norm"] = float(
+                    np.linalg.norm(arr)
+                )
+                stats[f"{prefix}/{name}"] = np.histogram(arr, bins=64)
+            return stats
+
+        add("parameters", self.params)
+        if grads is not None and grads != ():
+            add("gradients", grads)
+        return stats
+
+    def watch_log(self, grads):
+        """Hook called every `watch_freq` training batches; the base trainer
+        just records the stats (TrainerWandB forwards them to wandb)."""
+        self.watch_dict = self.watch_stats(grads)
 
     # ------------------------------------------------- equivariance testing
 
@@ -886,3 +933,23 @@ class TrainerWandB(Trainer):
                     wandb.log({"num_weights": self.num_weights})
             except ImportError:
                 pass
+
+    def watch_log(self, grads):
+        """wandb.watch parity (reference: trainer.py:905-907): gradient and
+        parameter histograms + norms every `watch_freq` training batches."""
+        super().watch_log(grads)
+        if self.rank != 0:
+            return
+        try:
+            import wandb
+        except ImportError:
+            return
+        if wandb.run is None:
+            return
+        logd = {}
+        for k, v in self.watch_dict.items():
+            if isinstance(v, tuple):
+                logd[k] = wandb.Histogram(np_histogram=v)
+            else:
+                logd[k] = v
+        wandb.log(logd)

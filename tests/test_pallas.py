@@ -165,6 +165,8 @@ def test_full_conv_forward_matches():
     conv, params, full, fused, fc, gb, x, sh, er, N = setup_full()
     lp, fcp = params["tp"]["linear"], params["fc"]
     a = full(fcp, lp, x, er, sh, jnp.asarray(gb["_edge_tile_win"]),
+             jnp.asarray(gb["_edge_tile_first"]),
+             jnp.asarray(gb["_edge_tile_last"]),
              jnp.asarray(gb["_edge_src_local"]),
              jnp.asarray(gb["_edge_dst_local"]), N, pre_scale=0.5)
     b = _ref_out(fused, fc, fcp, lp, x, sh, er, gb, N)
@@ -176,12 +178,14 @@ def test_full_conv_grads_match():
     conv, params, full, fused, fc, gb, x, sh, er, N = setup_full(seed=3)
     lp, fcp = params["tp"]["linear"], params["fc"]
     win = jnp.asarray(gb["_edge_tile_win"])
+    tfirst = jnp.asarray(gb["_edge_tile_first"])
+    tlast = jnp.asarray(gb["_edge_tile_last"])
     srcl = jnp.asarray(gb["_edge_src_local"])
     dstl = jnp.asarray(gb["_edge_dst_local"])
 
     def loss_full(fcp_, lp_, x_, sh_, er_):
-        out = full(fcp_, lp_, x_, er_, sh_, win, srcl, dstl, N,
-                   pre_scale=0.5)
+        out = full(fcp_, lp_, x_, er_, sh_, win, tfirst, tlast, srcl, dstl,
+                   N, pre_scale=0.5)
         return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
                                      ).reshape(out.shape))
 

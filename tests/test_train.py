@@ -49,7 +49,8 @@ def qm9_file(tmp_path_factory):
     return str(path)
 
 
-def make_trainer(qm9_file, workdir, num_layers=1, n_dim=8, max_epochs=2):
+def make_trainer(qm9_file, workdir, num_layers=1, n_dim=8, max_epochs=2,
+                 **extra):
     cfg = get_config("config_energy")
     cfg.batch_size = 8
     cfg.data_config.n_train = 64
@@ -86,6 +87,7 @@ def make_trainer(qm9_file, workdir, num_layers=1, n_dim=8, max_epochs=2):
         max_epochs=max_epochs, batch_size=8,
         early_stopping_patiences={"validation_loss": 50},
         log_period=1000,
+        **extra,
     )
     tr.set_dataset(ds)
     return tr
@@ -102,6 +104,29 @@ def test_train_loss_decreases(qm9_file, tmp_path):
     assert losses["validation_loss"] < 1e4
     assert os.path.exists(tr.best_model_path)
     assert os.path.exists(tr.trainer_save_path)
+
+
+def test_watch_histograms(qm9_file, tmp_path):
+    """wandb.watch parity (reference trainer.py:905-907): with watch_freq
+    set, every watch_freq-th training batch records parameter and gradient
+    norms + histograms."""
+    tr = make_trainer(qm9_file, tmp_path / "wd_watch", max_epochs=1,
+                      watch_freq=2)
+    tr.train()
+    stats = tr.watch_dict
+    p_hists = [k for k in stats if k.startswith("parameters/")
+               and not k.endswith("_norm")]
+    g_hists = [k for k in stats if k.startswith("gradients/")
+               and not k.endswith("_norm")]
+    assert p_hists and g_hists
+    assert len(p_hists) == len(g_hists)  # one gradient leaf per param leaf
+    counts, edges = stats[g_hists[0]]
+    assert counts.sum() > 0 and len(edges) == len(counts) + 1
+    norms = [v for k, v in stats.items() if k.endswith("_norm")]
+    assert all(np.isfinite(v) for v in norms)
+    # some gradient must be non-zero after a real step
+    assert any(v > 0 for k, v in stats.items()
+               if k.startswith("gradients/") and k.endswith("_norm"))
 
 
 def test_resume_restores_state(qm9_file, tmp_path):
