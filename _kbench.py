@@ -97,6 +97,27 @@ def main():
         jax.block_until_ready(o)
         dt = (time.perf_counter() - t0) / n
         print(f"fwd+bwd: {dt*1e3:.3f} ms")
+        # trace-aggregated split
+        import collections
+        import glob
+        import gzip
+        import json
+        with jax.profiler.trace("/tmp/kbtrace"):
+            for _ in range(20):
+                o = g(fcp, linp, x, sh, er)
+            jax.block_until_ready(o)
+        time.sleep(1)
+        tr = sorted(glob.glob("/tmp/kbtrace/**/*.trace.json.gz",
+                              recursive=True))[-1]
+        ev = json.load(gzip.open(tr)).get("traceEvents", [])
+        by = collections.Counter()
+        for e in ev:
+            a = e.get("args", {})
+            if e.get("ph") == "X" and "hlo_category" in a:
+                by[e.get("name", "")[:40]] += int(
+                    a.get("device_duration_ps", "0")) / 1e9 / 20
+        for nm, d in by.most_common(10):
+            print(f"  {d:8.3f}  {nm}")
 
 
 if __name__ == "__main__":

@@ -41,7 +41,8 @@ class Collater:
 
 def estimate_capacities(dataset, batch_size: int, sample: int = 256,
                         headroom: float = None, multiple: int = 128,
-                        edge_tile: int = None, window: int = 128):
+                        edge_tile: int = None, window: int = 128,
+                        defer_overflow: bool = True):
     """Estimate static (node, edge) capacities from a dataset sample.
 
     Capacity = batch_size * mean-per-graph * headroom, rounded up; one node
@@ -56,7 +57,12 @@ def estimate_capacities(dataset, batch_size: int, sample: int = 256,
     nodes, edges = [], []
     for i in idx:
         item = dataset[int(i)]
-        nodes.append(int(np.asarray(item["_n_nodes"]).sum()))
+        if "_n_nodes" in item:
+            nodes.append(int(np.asarray(item["_n_nodes"]).sum()))
+        else:  # bare Data: count rows of any node-annotated key
+            per_node = [k for k, (per, _) in item.attrs.items()
+                        if per == "node"]
+            nodes.append(int(np.asarray(item[per_node[0]]).shape[0]))
         if "_n_edges" in item:
             edges.append(int(np.asarray(item["_n_edges"]).sum()))
         elif "edge_index" in item:
@@ -71,17 +77,39 @@ def estimate_capacities(dataset, batch_size: int, sample: int = 256,
     edge_cap = round_up(max(batch_size * float(np.mean(edges)) * headroom, 1))
     edge_cap = max(edge_cap, round_up(max(edges) + 1))
     if edge_tile:
-        # tile-aligned layout: edges are padded per window-run; estimate the
-        # run count from the sampled node sizes and pay one tile of slack
-        # per run on top of the usual headroom
-        per_run = max(1, (window - 7) // max(1, int(np.mean(nodes))))
-        n_runs = math.ceil(batch_size / per_run)
-        edge_cap = round_up(
-            batch_size * float(np.mean(edges)) * headroom
-            + n_runs * edge_tile
-        )
-        edge_cap = int(math.ceil(edge_cap / edge_tile) * edge_tile)
-        node_cap = max(node_cap, window)
+        # tile-aligned layout: bootstrap-quantile capacity.  Simulate the
+        # loader's window-run packing over resampled batches; with overflow
+        # DEFERRAL available (single-shard loaders carry non-fitting graphs
+        # to the next batch) the capacity sits at the ~q80 batch need —
+        # occasional overflows cost nothing (the graphs ride along later),
+        # while padding waste drops ~15% vs mean*headroom.  Without deferral
+        # (sharded loaders) use the bootstrap max.
+        rng = np.random.default_rng(0)
+        all_slots, all_nodes = [], []
+        for _ in range(64):
+            sel = rng.integers(0, len(nodes), size=batch_size)
+            cur_nodes = window  # force a new run at the first graph
+            run_edges, slots, tot_nodes = 0, 0, 0
+            for i in sel:
+                if cur_nodes + nodes[i] <= window - 7:
+                    cur_nodes += nodes[i]
+                    run_edges += edges[i]
+                else:
+                    slots += math.ceil(run_edges / edge_tile) * edge_tile
+                    cur_nodes = nodes[i]
+                    run_edges = edges[i]
+                tot_nodes += nodes[i]
+            slots += math.ceil(run_edges / edge_tile) * edge_tile
+            all_slots.append(slots)
+            all_nodes.append(tot_nodes)
+        if defer_overflow:
+            slots_cap = float(np.quantile(all_slots, 0.8))
+            nodes_cap = float(np.quantile(all_nodes, 0.8))
+        else:
+            slots_cap = float(max(all_slots))
+            nodes_cap = float(max(all_nodes))
+        edge_cap = int(math.ceil(slots_cap / edge_tile) * edge_tile) + edge_tile
+        node_cap = max(round_up(nodes_cap + 1), window)
     return node_cap, edge_cap
 
 
@@ -137,6 +165,7 @@ class DataLoader:
             node_capacity, edge_capacity = estimate_capacities(
                 dataset, batch_size // num_shards, multiple=128,
                 edge_tile=self.edge_tile, window=window,
+                defer_overflow=(num_shards == 1),
             )
         elif self.edge_tile and edge_capacity % self.edge_tile:
             edge_capacity = int(
@@ -172,6 +201,9 @@ class DataLoader:
 
     def _make_batch(self, indices) -> GraphBatch:
         items = [self.dataset[int(i)] for i in indices]
+        return self._make_batch_items(items)
+
+    def _make_batch_items(self, items) -> GraphBatch:
         if self.num_shards > 1:
             # one padded sub-batch per device, stacked on a leading axis
             from ..parallel.data_parallel import stack_shards
@@ -189,12 +221,6 @@ class DataLoader:
         else:
             host = self.collater(items)
             out = self._pad(host, self.batch_size)
-        if out.dropped:
-            self.dropped_graphs += out.dropped
-            logging.warning(
-                f"batch overflowed static capacities; dropped {out.dropped} "
-                f"graphs (total {self.dropped_graphs})"
-            )
         return out
 
     def _index_batches(self):
@@ -205,10 +231,41 @@ class DataLoader:
         for b in range(nb):
             yield order[b * self.batch_size : (b + 1) * self.batch_size]
 
+    def _batches(self):
+        """Batches with overflow deferral: graphs that don't fit the static
+        capacities are carried to the FRONT of the next batch instead of
+        dropped — tight (bootstrap-max) capacities then cost an occasional
+        smaller effective batch, never data."""
+        carry: List = []
+        for idx in self._index_batches():
+            items = carry + [self.dataset[int(i)] for i in idx]
+            carry = items[self.batch_size:]
+            items = items[: self.batch_size]
+            out = self._make_batch_items(items)
+            if out.dropped and self.num_shards == 1:
+                nd = out.dropped
+                if nd < len(items):  # oversize-alone batches drop for real
+                    carry = items[len(items) - nd:] + carry
+                    out.dropped = 0
+                    logging.debug("deferred %d overflow graphs", nd)
+            if out.dropped:
+                self.dropped_graphs += out.dropped
+                logging.warning(
+                    f"batch overflowed static capacities; dropped "
+                    f"{out.dropped} graphs (total {self.dropped_graphs})"
+                )
+            yield out
+        if carry:
+            self.dropped_graphs += len(carry)
+            logging.warning(
+                f"epoch end: {len(carry)} deferred graphs did not fit any "
+                f"batch (total dropped {self.dropped_graphs})"
+            )
+
     def __iter__(self):
         if self.prefetch and self.prefetch > 0:
             return self._prefetch_iter()
-        return (self._make_batch(idx) for idx in self._index_batches())
+        return self._batches()
 
     def _prefetch_iter(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -217,8 +274,8 @@ class DataLoader:
 
         def worker():
             try:
-                for idx in self._index_batches():
-                    q.put(self._make_batch(idx))
+                for batch in self._batches():
+                    q.put(batch)
             except Exception as e:  # pragma: no cover
                 err.append(e)
             finally:

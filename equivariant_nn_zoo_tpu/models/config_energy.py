@@ -91,5 +91,7 @@ def get_config(spec=None):
     model.update(layer_configs)
 
     if isinstance(spec, str) and spec.startswith("{"):
-        config.update(eval(spec))
+        # reference parity (config_energy_force.py:53-55): the spec string
+        # may eval to an override dict; dotted keys address nested fields
+        config.update_from_flattened_dict(eval(spec))
     return config

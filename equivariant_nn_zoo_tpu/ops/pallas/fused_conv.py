@@ -534,9 +534,15 @@ class PallasFullConv(PallasUVUConv):
     """
 
     def __init__(self, tpe, fc, compute_dtype=jnp.bfloat16, tile: int = None,
-                 window: int = 128):
+                 window: int = 128, compute_dsh: bool = False):
         super().__init__(tpe, compute_dtype=compute_dtype, tile=tile)
         self.window = window
+        # sh = SH(edge_vector) has no parameters, and every pallas-eligible
+        # config treats positions as conditioning inputs (force heads build
+        # their convolutions with pallas=False and take the XLA path), so
+        # the sh cotangent is dead by construction — skip its VPU loop.
+        # Set True to differentiate through sh (parity tests do).
+        self.compute_dsh = compute_dsh
         self.fc = fc
         self.fc_dims = list(fc.dims)
         self.fc_act = fc.act
@@ -882,12 +888,16 @@ class PallasFullConv(PallasUVUConv):
                 do_j = douter[j * I: (j + 1) * I, :]
                 c = srep * do_j
                 dxb = c if dxb is None else dxb + c
-                s = jnp.sum(do_j * xb, axis=0)
-                dsh_rows.append(jnp.sum(s.reshape(mul, T), axis=0,
-                                        keepdims=True))
-            dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0).astype(
-                dsh_ref.dtype
-            )
+                if self.compute_dsh:
+                    s = jnp.sum(do_j * xb, axis=0)
+                    dsh_rows.append(jnp.sum(s.reshape(mul, T), axis=0,
+                                            keepdims=True))
+            if self.compute_dsh:
+                dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0).astype(
+                    dsh_ref.dtype
+                )
+            else:
+                dsh_ref[...] = jnp.zeros(dsh_ref.shape, dsh_ref.dtype)
             # scatter dx rows back into the window accumulator
             dxT = jnp.transpose(dxb.reshape(I * mul, T))   # [T, I*mul]
             contribX = jax.lax.dot_general(

@@ -102,6 +102,26 @@ def test_loader_iterates_and_state(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_loader_defers_overflow(tmp_path):
+    """With tight capacities, single-shard loaders carry overflowing graphs
+    to the next batch instead of dropping them — every graph is seen once."""
+    write_file(tmp_path / "a.hdf5", n_mols=16)
+    ds = CondensedDataset(path=str(tmp_path / "a.hdf5"))
+    sizes = [int(n) for n in np.asarray(ds["_n_nodes"]).reshape(-1)]
+    # capacity fits ~3 of 4 graphs per batch -> every batch defers some
+    tight = int(np.ceil(np.mean(sizes) * 3)) + 1
+    dl = DataLoader(ds, batch_size=4, node_capacity=tight,
+                    edge_capacity=512, prefetch=0, shuffle=False)
+    seen = 0.0
+    batches = list(dl)
+    for b in batches:
+        seen += float(np.asarray(b["_graph_mask"]).sum())
+    # graphs deferred past the final batch are counted as dropped;
+    # everything else must have been emitted exactly once
+    assert seen + dl.dropped_graphs == 16
+    assert seen > 8  # deferral actually produced fuller batches than drops
+
+
 def test_loader_drop_last_false(tmp_path):
     write_file(tmp_path / "a.hdf5", n_mols=10)
     ds = CondensedDataset(path=str(tmp_path / "a.hdf5"))

@@ -141,7 +141,7 @@ def setup_full(seed=0, T=32, W=32):
     from equivariant_nn_zoo_tpu.ops.pallas.fused_conv import PallasFullConv
 
     full = PallasFullConv(tpe, fc, compute_dtype=jnp.float32, tile=T,
-                          window=W)
+                          window=W, compute_dsh=True)
     fused = FusedUVUConv(tpe, compute_dtype=jnp.float32)
     gb = make_tiled(seed=seed, T=T, W=W)
     rng = np.random.default_rng(seed + 1)
