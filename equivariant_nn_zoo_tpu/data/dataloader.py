@@ -139,6 +139,18 @@ def _default_edge_tile(dataset):
     return 128
 
 
+_WORKER_DS = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _worker_get(i):
+    return _WORKER_DS[i]
+
+
 class DataLoader:
     """Iterates padded GraphBatches over a CondensedDataset."""
 
@@ -146,7 +158,9 @@ class DataLoader:
                  seed: int = 0, node_capacity: int = None,
                  edge_capacity: int = None, drop_last: bool = True,
                  prefetch: int = 2, num_shards: int = 1,
-                 edge_tile: int = None, window: int = 128, **kwargs):
+                 edge_tile: int = None, window: int = 128,
+                 num_workers: int = 0, worker_timeout: float = 120.0,
+                 **kwargs):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -175,6 +189,21 @@ class DataLoader:
         self.edge_capacity = edge_capacity
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = int(num_workers or 0)
+        self.worker_timeout = worker_timeout
+        self._pool = None
+        if self.num_workers > 0:
+            # fork the pool eagerly, before any prefetch thread exists
+            # (forking a multithreaded process risks inherited-lock hangs)
+            from concurrent.futures import ProcessPoolExecutor
+            import multiprocessing as mp
+
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("fork"),
+                initializer=_worker_init,
+                initargs=(dataset,),
+            )
         self.dropped_graphs = 0
 
     def __len__(self):
@@ -231,14 +260,66 @@ class DataLoader:
         for b in range(nb):
             yield order[b * self.batch_size : (b + 1) * self.batch_size]
 
+    # ------------------------------------------------ parallel item pipeline
+
+    def _item_stream(self):
+        """Preprocessed items in index order.  With ``num_workers`` > 0 the
+        per-item preprocessing (radius graph, crop, masked2indexed — the
+        actual host hotspot for protein workloads) runs in a pool of forked
+        worker processes with a lookahead window and a timeout guard; batch
+        assembly (collate/pad/deferral) stays sequential in the parent so
+        semantics are identical to the serial path.
+
+        Reference parity: the torch DataLoader worker processes + timeout
+        (e3_layers/run/trainer.py:286-299, data/dataloader.py:94).
+        """
+        flat = (int(i) for idx in self._index_batches() for i in idx)
+        if self.num_workers <= 0:
+            for i in flat:
+                yield self.dataset[i]
+            return
+        import collections
+
+        lookahead = max(2 * self.num_workers, 8)
+        pending: collections.deque = collections.deque()
+        try:
+            for i in flat:
+                pending.append(self._pool.submit(_worker_get, i))
+                if len(pending) >= lookahead:
+                    yield self._worker_result(pending.popleft())
+            while pending:
+                yield self._worker_result(pending.popleft())
+        finally:
+            while pending:
+                pending.popleft().cancel()
+
+    def _worker_result(self, fut):
+        from concurrent.futures import TimeoutError
+
+        try:
+            return fut.result(timeout=self.worker_timeout)
+        except TimeoutError:
+            raise RuntimeError(
+                f"dataloader worker timed out after {self.worker_timeout}s "
+                "(preprocess hang?) — reference parity with torch "
+                "DataLoader(timeout=...)"
+            )
+
     def _batches(self):
         """Batches with overflow deferral: graphs that don't fit the static
         capacities are carried to the FRONT of the next batch instead of
         dropped — tight (bootstrap-max) capacities then cost an occasional
         smaller effective batch, never data."""
         carry: List = []
-        for idx in self._index_batches():
-            items = carry + [self.dataset[int(i)] for i in idx]
+        items_it = self._item_stream()
+        n_batches = len(self)
+        for _ in range(n_batches):
+            fresh = []
+            for item in items_it:
+                fresh.append(item)
+                if len(fresh) == self.batch_size:
+                    break
+            items = carry + fresh
             carry = items[self.batch_size:]
             items = items[: self.batch_size]
             out = self._make_batch_items(items)
@@ -290,6 +371,17 @@ class DataLoader:
                     raise err[0]
                 return
             yield item
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):  # best-effort pool cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def state_dict(self):
         return {"rng": self.rng.bit_generator.state,
@@ -351,7 +443,10 @@ def getDataIters(config, seed: int = 0, process_index: int = 0,
     train_ds = dataset.index_select(idcs[:n_train])
     eval_ds = dataset.index_select(idcs[n_train : n_train + n_val])
 
-    node_cap, edge_cap = estimate_capacities(train_ds, config.batch_size)
+    edge_tile = _default_edge_tile(train_ds)
+    node_cap, edge_cap = estimate_capacities(
+        train_ds, config.batch_size, edge_tile=edge_tile
+    )
     # explicit capacity overrides (needed when edges are built on device and
     # the host data carries none — e.g. protein diffusion configs)
     node_cap = data_config.get("node_capacity") or node_cap
@@ -362,6 +457,7 @@ def getDataIters(config, seed: int = 0, process_index: int = 0,
         edge_capacity=edge_cap,
         drop_last=True,
         seed=seed + process_index,
+        num_workers=data_config.get("num_workers", 0),
     )
     train_dl = DataLoader(train_ds, shuffle=True, **dl_kwargs)
     eval_dl = DataLoader(eval_ds, shuffle=False, **dl_kwargs)

@@ -496,8 +496,12 @@ class Trainer:
         self.dataset_val = validation_dataset.index_select(self.val_idcs)
 
         num_shards = 1 if self.mesh is None else int(self.mesh.devices.size)
+        from ..data.dataloader import _default_edge_tile
+
+        edge_tile = _default_edge_tile(self.dataset_train)
         node_cap, edge_cap = estimate_capacities(
-            self.dataset_train, self.batch_size // num_shards
+            self.dataset_train, self.batch_size // num_shards,
+            edge_tile=edge_tile, defer_overflow=(num_shards == 1),
         )
         node_cap = data_config.get("node_capacity") or node_cap
         edge_cap = data_config.get("edge_capacity") or edge_cap
@@ -508,6 +512,7 @@ class Trainer:
             drop_last=True,
             seed=self.loader_rng_seed,
             num_shards=num_shards,
+            num_workers=data_config.get("num_workers", 0),
         )
         self.dl_train = DataLoader(
             self.dataset_train, shuffle=data_config.get("shuffle", True),

@@ -122,6 +122,33 @@ def test_loader_defers_overflow(tmp_path):
     assert seen > 8  # deferral actually produced fuller batches than drops
 
 
+def test_loader_workers_match_serial(tmp_path):
+    """num_workers>0 parallelizes item preprocessing (the protein-pipeline
+    hotspot) in forked processes; batches must be identical to the serial
+    loader, in order.  Reference parity: torch DataLoader workers
+    (e3_layers/run/trainer.py:286-299)."""
+    from functools import partial
+
+    from equivariant_nn_zoo_tpu.data.compute_edge import computeEdgeIndex
+
+    write_file(tmp_path / "a.hdf5", n_mols=12)
+    kw = dict(path=str(tmp_path / "a.hdf5"),
+              preprocess=[partial(computeEdgeIndex, r_max=2.5)])
+    serial = DataLoader(CondensedDataset(**kw), batch_size=4, shuffle=True,
+                        seed=7, prefetch=0)
+    par = DataLoader(CondensedDataset(**kw), batch_size=4, shuffle=True,
+                     seed=7, prefetch=2, num_workers=2)
+    a = list(serial)
+    b = list(par)
+    par.close()
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        for k in x.data:
+            np.testing.assert_array_equal(
+                np.asarray(x[k]), np.asarray(y[k]), err_msg=k
+            )
+
+
 def test_loader_drop_last_false(tmp_path):
     write_file(tmp_path / "a.hdf5", n_mols=10)
     ds = CondensedDataset(path=str(tmp_path / "a.hdf5"))
