@@ -553,6 +553,155 @@ class PallasFullConv(PallasUVUConv):
                 [np.arange(p * mul, (p + 1) * mul) for p in self._w_order]
             )
         )
+        self._tpe_mid_irreps = tpe.tp.irreps_out
+        self._build_l2_split()
+
+    def _build_l2_split(self):
+        """l2-sectioned TP bookkeeping.
+
+        Every K-row (a (group, component, path) triple) has exactly one sh
+        degree l2; rows with l2 == 0 contract only the J=1 scalar-sh block
+        of `outer` (I columns), rows with l2 >= 1 only the remaining
+        (J-1)*I columns.  Splitting the dense CG matmul along that
+        partition turns one [K, J*I]-contraction (3 MXU K-tiles at J*I=288)
+        into a tiny [KA, I] one plus a [KB, (J-1)*I=256] one (2 exact
+        K-tiles) — ~30% less MXU time on the two biggest matmuls (mid and
+        its adjoint), at the price of per-(group, section) bookkeeping for
+        the mix/flush slicing."""
+
+        mul = self.mul
+        J, I = self.J_dim, self.I_dim
+        from ..wigner import wigner_3j
+
+        mid_irreps = self.tp_mid_irreps
+        i_starts = np.cumsum([0] + [mi.ir.dim for mi in self.irreps_in])
+        j_starts = np.cumsum([0] + [mi.ir.dim for mi in self.irreps_sh])
+
+        def ceil8(x):
+            return -(-x // 8) * 8
+
+        G = len(self.groups)
+        secA = []  # per group: our-path indices with l2 == 0
+        secB = []
+        for (ir, k0, n_paths, d, p0) in self.groups:
+            pa, pb = [], []
+            for m in range(n_paths):
+                p = p0 + m
+                l2 = self.irreps_sh[self.paths[p].i_in2].ir.l
+                (pa if l2 == 0 else pb).append(p)
+            secA.append(pa)
+            secB.append(pb)
+
+        # MLP column order: section-A paths by group, then section-B paths
+        self._p2 = [p for pa in secA for p in pa] + \
+                   [p for pb in secB for p in pb]
+        self._wcol_perm2 = jnp.asarray(np.concatenate([
+            np.arange(self.path_w_offset[p], self.path_w_offset[p] + mul)
+            for p in self._p2
+        ]))
+        w_ofs = {}
+        ofs = 0
+        for g, pa in enumerate(secA):
+            w_ofs[(g, "A")] = ofs
+            ofs += len(pa)
+        for g, pb in enumerate(secB):
+            w_ofs[(g, "B")] = ofs
+            ofs += len(pb)
+
+        # K2 row layout: A-section rows (g, dd, m), pad8, then B-section
+        rowsA = sum(len(secA[g]) * self.groups[g][3] for g in range(G))
+        rowsB = sum(len(secB[g]) * self.groups[g][3] for g in range(G))
+        self._KA, self._KB = rowsA, rowsB
+        # a zero-row section still needs a nonempty (all-zero) operand —
+        # Mosaic blocks can't be 0-sized
+        self._KA8, self._KB8 = max(8, ceil8(rowsA)), max(8, ceil8(rowsB))
+        self.K2 = self._KA8 + self._KB8
+        k0A, k0B = {}, {}
+        ofs = 0
+        for g in range(G):
+            k0A[g] = ofs
+            ofs += len(secA[g]) * self.groups[g][3]
+        ofs = self._KA8
+        for g in range(G):
+            k0B[g] = ofs
+            ofs += len(secB[g]) * self.groups[g][3]
+
+        C2A = np.zeros((self._KA8, I), np.float32)
+        C2B = np.zeros((self._KB8, (J - 1) * I), np.float32)
+        for g, (ir, k0, n_paths, d, p0) in enumerate(self.groups):
+            for sec, plist, base in (("A", secA[g], k0A[g]),
+                                     ("B", secB[g], k0B[g])):
+                npg = len(plist)
+                for m, p in enumerate(plist):
+                    ins = self.paths[p]
+                    l1 = self.irreps_in[ins.i_in1].ir.l
+                    l2 = self.irreps_sh[ins.i_in2].ir.l
+                    l3 = mid_irreps[ins.i_out].ir.l
+                    cg = wigner_3j(l1, l2, l3) * ins.path_weight
+                    i0 = int(i_starts[ins.i_in1])
+                    j0 = int(j_starts[ins.i_in2])
+                    for dd in range(d):
+                        row = base + dd * npg + m
+                        for m2 in range(2 * l2 + 1):
+                            for m1 in range(2 * l1 + 1):
+                                if sec == "A":
+                                    C2A[row, i0 + m1] += cg[m1, m2, dd]
+                                else:
+                                    col = (j0 - 1 + m2) * I + i0 + m1
+                                    C2B[row - self._KA8, col] += (
+                                        cg[m1, m2, dd]
+                                    )
+        self._C2A = jnp.asarray(C2A)
+        self._C2B = jnp.asarray(C2B)
+        self._C2AT = jnp.asarray(np.ascontiguousarray(C2A.T))
+        self._C2BT = jnp.asarray(np.ascontiguousarray(C2B.T))
+
+        # per-group sections for the mix/flush slicing, and wsel row perms
+        self._mix2 = []
+        sec_idx = 0
+        for g, mx in enumerate(self._mix):
+            secs = []
+            base_perm = np.asarray(self.group_row_perm[g])
+            p0 = self.groups[g][4]
+            for name, plist, base in (("A", secA[g], k0A[g]),
+                                      ("B", secB[g], k0B[g])):
+                if not plist:
+                    continue
+                perm = np.concatenate([
+                    base_perm[(p - p0) * mul: (p - p0 + 1) * mul]
+                    for p in plist
+                ])
+                secs.append(dict(
+                    k0=base, npg=len(plist), wofs=w_ofs[(g, name)],
+                    perm=jnp.asarray(perm), idx=sec_idx,
+                ))
+                sec_idx += 1
+            self._mix2.append(dict(
+                d=mx["d"], Wg=mx["Wg"], out_row=mx["out_row"],
+                ios=mx["ios"], muls=mx["muls"], secs=secs,
+            ))
+        self.n_secs = sec_idx
+
+    @property
+    def tp_mid_irreps(self):
+        return self._tpe_mid_irreps
+
+    def _prep_wsel2(self, linear_params):
+        """Per-(group, section) mix matrices [npg*mul, Wg] in kernel order;
+        gradients flow back to the TPE linear params through this gather."""
+        cd = self.compute_dtype
+        out = []
+        for g, mx in enumerate(self._mix2):
+            ir = self.groups[g][0]
+            ii = self.lin_in_index[ir]
+            for sec in mx["secs"]:
+                cols = []
+                for io in mx["ios"]:
+                    w_full = (linear_params[f"w{ii}_{io}"]
+                              * self.linear.alphas[io])
+                    cols.append(w_full[sec["perm"]])
+                out.append(jnp.concatenate(cols, axis=1).astype(cd))
+        return out
 
     # ---------------------------------------------------------- shared math
     def _tp_mix(self, xb, sh, wt, C2v, wselTs):
@@ -604,56 +753,82 @@ class PallasFullConv(PallasUVUConv):
         return pre, h.astype(cd)
 
     # -------------------------------------------------------------- kernels
-    def _tp_mid2(self, xb, sh, wT2, C2v):
-        """xb [I, mul*T], sh [J, T], wT2 [P*mul, T] (rows (path,u)) ->
-        (mid2, wt2, w2d), all [K*mul, T] with rows (k, u).
+    def _tp_mid2(self, xb, sh, wT2, C2Av, C2Bv):
+        """xb [I, mul*T], sh [J, T], wT2 [P*mul, T] (rows in _p2 order) ->
+        (mid2, wt2, w2d), all [K2*mul, T] with rows (section, k, u).
 
-        The TP intermediate leaves the MXU in the wide (u, e)-minor layout;
-        ONE relayout splits it to edge-minor rows, and the radial-weight
-        factor is assembled purely from 64-aligned row-block concats of the
-        MLP output transpose (free register stacking, no wide-layout
-        broadcast materialization)."""
-        J, I, K, mul, T = (self.J_dim, self.I_dim, self.K_dim, self.mul,
-                           self.tile)
+        The TP intermediate leaves the MXU in the wide (u, e)-minor layout
+        via TWO section matmuls (see _build_l2_split); one relayout per
+        section splits it to edge-minor rows, and the radial-weight factor
+        is assembled purely from 64-aligned row-block concats of the MLP
+        output transpose (free register stacking)."""
+        J, I, mul, T = self.J_dim, self.I_dim, self.mul, self.tile
+        KA8, KB8 = self._KA8, self._KB8
         cd = self.compute_dtype
         rows = []
         for j in range(J):
             srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
             rows.append(srep * xb)
-        outer = jnp.concatenate(rows, axis=0)
-        mid = jax.lax.dot_general(
-            C2v.astype(cd), outer,
+        outerA = rows[0]                                   # [I, mul*T]
+        outerB = jnp.concatenate(rows[1:], axis=0)         # [(J-1)*I, mul*T]
+        midA = jax.lax.dot_general(
+            C2Av.astype(cd), outerA,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(cd)                                      # [K, mul*T]
-        mid2 = mid.reshape(K * mul, T)                    # the one relayout
+        ).astype(cd)                                       # [KA8, mul*T]
+        midB = jax.lax.dot_general(
+            C2Bv.astype(cd), outerB,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)                                       # [KB8, mul*T]
+        mid2 = jnp.concatenate(
+            [midA.reshape(KA8 * mul, T), midB.reshape(KB8 * mul, T)],
+            axis=0,
+        )
+        # radial-weight rows matching the (section, g, dd, m, u) row order
         parts = []
-        for g, mx in enumerate(self._mix):
-            npg, d = mx["n_paths"], mx["d"]
-            p0 = self.groups[g][4]
-            blk = wT2[p0 * mul: (p0 + npg) * mul, :]      # [npg*mul, T]
-            parts.extend([blk] * d)
-        wt2 = jnp.concatenate(parts, axis=0)              # [K*mul, T]
+        pad_rows = 0
+
+        def flush_pad():
+            nonlocal pad_rows
+            if pad_rows:
+                parts.append(jnp.zeros((pad_rows * mul, T), cd))
+                pad_rows = 0
+
+        for region, pad_to in (("A", KA8), ("B", KB8)):
+            used = 0
+            for g, mx in enumerate(self._mix2):
+                d = mx["d"]
+                for sec in mx["secs"]:
+                    in_a = sec["k0"] < self._KA8
+                    if (region == "A") != in_a:
+                        continue
+                    blk = wT2[sec["wofs"] * mul:
+                              (sec["wofs"] + sec["npg"]) * mul, :]
+                    parts.extend([blk] * d)
+                    used += sec["npg"] * d
+            pad_rows = pad_to - used
+            flush_pad()
+        wt2 = jnp.concatenate(parts, axis=0)               # [K2*mul, T]
         return mid2, wt2, mid2 * wt2
 
     def _full_fwd_kernel(self):
         import jax.experimental.pallas as pl
 
-        J, I, K, mul, T, W = (self.J_dim, self.I_dim, self.K_dim, self.mul,
-                              self.tile, self.window)
-        P = len(self.paths)
+        J, I, mul, T, W = (self.J_dim, self.I_dim, self.mul, self.tile,
+                           self.window)
         nW = len(self.fc_dims) - 1
-        G = len(self._mix)
+        S = self.n_secs
         cd = self.compute_dtype
-        mix = self._mix
+        mix2 = self._mix2
 
         def kernel(win0_ref, first_ref, last_ref, *args):
             (srcl_ref, dstl_ref, x_ref, shT_ref, er_ref) = args[:5]
             W_refs = args[5: 5 + nW]
-            C2_ref = args[5 + nW]
-            wsel_refs = args[6 + nW: 6 + nW + G]
-            acc_ref = args[6 + nW + G]
-            accw_ref = args[7 + nW + G]                   # scratch [W, K*mul]
+            C2A_ref, C2B_ref = args[5 + nW: 7 + nW]
+            wsel_refs = args[7 + nW: 7 + nW + S]
+            acc_ref = args[7 + nW + S]
+            accw_ref = args[8 + nW + S]                   # scratch [K2*mul, W]
 
             t = pl.program_id(0)
             w0 = pl.multiple_of(win0_ref[t], 8)
@@ -672,18 +847,16 @@ class PallasFullConv(PallasUVUConv):
             _, w_edge = self._mlp_fwd(er_ref[...], [w[...] for w in W_refs])
             wT2 = jnp.transpose(w_edge)                   # [P*mul, T]
             _, _, w2d = self._tp_mid2(
-                xb, shT_ref[...].astype(cd), wT2, C2_ref[...]
+                xb, shT_ref[...].astype(cd), wT2, C2A_ref[...], C2B_ref[...]
             )
             # scatter the UNMIXED weighted TP into the window accumulator:
-            # one MXU-shaped matmul (M = K*mul) instead of 32 mix-width ones
-            # — the mix runs once per window at the run's last tile below.
-            # K*mul-major scratch keeps every big dot in clean MXU
-            # orientation (contraction on A's minor / B's major axis).
+            # one MXU-shaped matmul (M = K2*mul) instead of 32 mix-width
+            # ones — the mix runs once per window at the run's last tile.
             contrib = jax.lax.dot_general(
                 w2d, one_d,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(cd)                                  # [K*mul, W]
+            ).astype(cd)                                  # [K2*mul, W]
 
             @pl.when(t == 0)
             def _():
@@ -701,18 +874,20 @@ class PallasFullConv(PallasUVUConv):
             def _():
                 accw = accw_ref[...].astype(cd)
                 outs = []
-                for g, mx in enumerate(mix):
-                    k0, npg, d = mx["k0"], mx["n_paths"], mx["d"]
-                    ws_g = wsel_refs[g][...]
+                for g, mx in enumerate(mix2):
+                    d = mx["d"]
                     for dd in range(d):
-                        c0 = (k0 + dd * npg) * mul
-                        outs.append(
-                            jax.lax.dot_general(
-                                accw[c0: c0 + npg * mul, :], ws_g,
+                        blk = None
+                        for sec in mx["secs"]:
+                            c0 = (sec["k0"] + dd * sec["npg"]) * mul
+                            dsec = jax.lax.dot_general(
+                                accw[c0: c0 + sec["npg"] * mul, :],
+                                wsel_refs[sec["idx"]][...],
                                 dimension_numbers=(((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                            )
-                        )                                 # [W, Wg]
+                            )                             # [W, Wg]
+                            blk = dsec if blk is None else blk + dsec
+                        outs.append(blk)
                 full = jnp.concatenate(outs, axis=1)      # [W, out_rows]
                 cur = acc_ref[pl.ds(w0, W), :]
                 acc_ref[pl.ds(w0, W), :] = cur + full.astype(acc_ref.dtype)
@@ -722,25 +897,25 @@ class PallasFullConv(PallasUVUConv):
     def _full_bwd_kernel(self):
         import jax.experimental.pallas as pl
 
-        J, I, K, mul, T, W = (self.J_dim, self.I_dim, self.K_dim, self.mul,
-                              self.tile, self.window)
-        P = len(self.paths)
+        J, I, mul, T, W = (self.J_dim, self.I_dim, self.mul, self.tile,
+                           self.window)
         nW = len(self.fc_dims) - 1
-        G = len(self._mix)
+        S = self.n_secs
         cd = self.compute_dtype
-        mix = self._mix
+        mix2 = self._mix2
+        KA8, KB8 = self._KA8, self._KB8
 
         def kernel(win0_ref, first_ref, last_ref, *args):
             (srcl_ref, dstl_ref, x_ref, shT_ref, er_ref) = args[:5]
             W_refs = args[5: 5 + nW]
-            C2_ref, C2T_ref = args[5 + nW: 7 + nW]
-            wsel_refs = args[7 + nW: 7 + nW + G]
-            gout_ref = args[7 + nW + G]
-            n_in = 8 + nW + G
+            (C2A_ref, C2B_ref, C2AT_ref, C2BT_ref) = args[5 + nW: 9 + nW]
+            wsel_refs = args[9 + nW: 9 + nW + S]
+            gout_ref = args[9 + nW + S]
+            n_in = 10 + nW + S
             dx_ref, dsh_ref, der_ref = args[n_in: n_in + 3]
             dW_refs = args[n_in + 3: n_in + 3 + nW]
-            dwsel_refs = args[n_in + 3 + nW: n_in + 3 + nW + G]
-            dwin_ref, accw_ref = args[n_in + 3 + nW + G:]  # scratch [K*mul, W]
+            dwsel_refs = args[n_in + 3 + nW: n_in + 3 + nW + S]
+            dwin_ref, accw_ref = args[n_in + 3 + nW + S:]  # scratch
 
             t = pl.program_id(0)
             w0 = pl.multiple_of(win0_ref[t], 8)
@@ -752,30 +927,45 @@ class PallasFullConv(PallasUVUConv):
                     dW_refs[i][...] = jnp.zeros(
                         dW_refs[i].shape, dW_refs[i].dtype
                     )
-                for g in range(G):
-                    dwsel_refs[g][...] = jnp.zeros(
-                        dwsel_refs[g].shape, dwsel_refs[g].dtype
+                for s in range(S):
+                    dwsel_refs[s][...] = jnp.zeros(
+                        dwsel_refs[s].shape, dwsel_refs[s].dtype
                     )
 
             # per-window upstream cotangent of the UNMIXED accumulator:
             # dwin[(k,u), w] = sum_{io,u'} wsel gout[w0+w, ...] — computed
-            # once per run (the mix weights are per-window constants)
+            # once per run (the mix weights are per-window constants).
+            # Blocks are emitted in scratch row order: A-section groups,
+            # zero pad to KA8, B-section groups, pad to KB8.
             @pl.when(first_ref[t] == 1)
             def _():
                 gw = gout_ref[pl.ds(w0, W), :].astype(cd)
                 blocks = []
-                for g, mx in enumerate(mix):
-                    Wg, d = mx["Wg"], mx["d"]
-                    ws_g = wsel_refs[g][...]
-                    for dd in range(d):
-                        r0 = mx["out_row"] + dd * Wg
+                for region, pad_to in (("A", KA8), ("B", KB8)):
+                    used = 0
+                    for g, mx in enumerate(mix2):
+                        Wg, d = mx["Wg"], mx["d"]
+                        for sec in mx["secs"]:
+                            in_a = sec["k0"] < KA8
+                            if (region == "A") != in_a:
+                                continue
+                            ws_g = wsel_refs[sec["idx"]][...]
+                            for dd in range(d):
+                                r0 = mx["out_row"] + dd * Wg
+                                blocks.append(
+                                    jax.lax.dot_general(
+                                        ws_g, gw[:, r0: r0 + Wg],
+                                        dimension_numbers=(
+                                            ((1,), (1,)), ((), ())
+                                        ),
+                                        preferred_element_type=jnp.float32,
+                                    )
+                                )                          # [npg*mul, W]
+                            used += sec["npg"] * d
+                    if pad_to - used:
                         blocks.append(
-                            jax.lax.dot_general(
-                                ws_g, gw[:, r0: r0 + Wg],
-                                dimension_numbers=(((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )
-                        )                                  # [npg*mul, W]
+                            jnp.zeros(((pad_to - used) * mul, W), jnp.float32)
+                        )
                 dwin_ref[...] = jnp.concatenate(blocks, axis=0).astype(
                     dwin_ref.dtype
                 )
@@ -798,12 +988,13 @@ class PallasFullConv(PallasUVUConv):
             wT2 = jnp.transpose(w_edge)                    # [P*mul, T]
 
             # recompute forward intermediates (remat)
-            mid2, wt2, w2d = self._tp_mid2(xb, sh, wT2, C2_ref[...])
+            mid2, wt2, w2d = self._tp_mid2(xb, sh, wT2, C2A_ref[...],
+                                           C2B_ref[...])
             contrib = jax.lax.dot_general(
                 w2d, one_d,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(cd)                                   # [K*mul, W]
+            ).astype(cd)                                   # [K2*mul, W]
             accw_ref[...] = accw_ref[...] + contrib
 
             # per-edge cotangent of the weighted TP, via the window gather
@@ -811,46 +1002,55 @@ class PallasFullConv(PallasUVUConv):
                 dwin_ref[...], one_d,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(cd)                                   # [K*mul, T]
+            ).astype(cd)                                   # [K2*mul, T]
 
-            # radial-weight cotangent: rows (k,u) -> sum components per path
+            # radial-weight cotangent: rows (k,u) -> sum components per
+            # path, emitted in _p2 (A-sections then B-sections) order
             dwp2 = dw2d * mid2
-            dwt_blocks = {}
-            for g, mx in enumerate(mix):
-                k0, npg, d = mx["k0"], mx["n_paths"], mx["d"]
-                dw_acc = None
-                for dd in range(d):
-                    r0 = (k0 + dd * npg) * mul
-                    blk = dwp2[r0: r0 + npg * mul, :]
-                    dw_acc = blk if dw_acc is None else dw_acc + blk
-                dwt_blocks[g] = dw_acc                     # [npg*mul, T]
+            dwt_blocks = []
+            for region in ("A", "B"):
+                for g, mx in enumerate(mix2):
+                    d = mx["d"]
+                    for sec in mx["secs"]:
+                        in_a = sec["k0"] < KA8
+                        if (region == "A") != in_a:
+                            continue
+                        dw_acc = None
+                        for dd in range(d):
+                            r0 = (sec["k0"] + dd * sec["npg"]) * mul
+                            blk = dwp2[r0: r0 + sec["npg"] * mul, :]
+                            dw_acc = blk if dw_acc is None else dw_acc + blk
+                        dwt_blocks.append(dw_acc)          # [npg*mul, T]
 
             # mix-weight gradients once per window, from the (recomputed)
-            # forward accumulator: dwsel_g = accw_g^T @ gout_window
+            # forward accumulator: dwsel_sec = accw_sec^T @ gout_window
             @pl.when(last_ref[t] == 1)
             def _():
                 accw = accw_ref[...].astype(cd)
                 gw = gout_ref[pl.ds(w0, W), :].astype(cd)
-                for g, mx in enumerate(mix):
-                    k0, npg, d, Wg = (mx["k0"], mx["n_paths"], mx["d"],
-                                      mx["Wg"])
-                    dws = None
-                    for dd in range(d):
-                        c0 = (k0 + dd * npg) * mul
-                        r0 = mx["out_row"] + dd * Wg
-                        c = jax.lax.dot_general(
-                            accw[c0: c0 + npg * mul, :], gw[:, r0: r0 + Wg],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )                                  # [npg*mul, Wg]
-                        dws = c if dws is None else dws + c
-                    dwsel_refs[g][...] = dwsel_refs[g][...] + dws
+                for g, mx in enumerate(mix2):
+                    d, Wg = mx["d"], mx["Wg"]
+                    for sec in mx["secs"]:
+                        dws = None
+                        for dd in range(d):
+                            c0 = (sec["k0"] + dd * sec["npg"]) * mul
+                            r0 = mx["out_row"] + dd * Wg
+                            c = jax.lax.dot_general(
+                                accw[c0: c0 + sec["npg"] * mul, :],
+                                gw[:, r0: r0 + Wg],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )                              # [npg*mul, Wg]
+                            dws = c if dws is None else dws + c
+                        dwsel_refs[sec["idx"]][...] = (
+                            dwsel_refs[sec["idx"]][...] + dws
+                        )
 
             # TP-intermediate cotangent back to the wide layout for C2^T
-            dmid = (dw2d * wt2).reshape(K, mul * T)
-            dwT2 = jnp.concatenate(
-                [dwt_blocks[g] for g in range(G)], axis=0
-            )                                              # [P*mul, T]
+            dmid2 = dw2d * wt2
+            dmidA = dmid2[: KA8 * mul, :].reshape(KA8, mul * T)
+            dmidB = dmid2[KA8 * mul:, :].reshape(KB8, mul * T)
+            dwT2 = jnp.concatenate(dwt_blocks, axis=0)     # [P*mul, T]
 
             # radial MLP backward (dwT2 -> d edge_radial + dW)
             dw_edge = jnp.transpose(dwT2).astype(cd)
@@ -875,11 +1075,17 @@ class PallasFullConv(PallasUVUConv):
                     dh = act_vjp(dh.astype(pre[i - 1].dtype))[0].astype(cd)
             der_ref[...] = dh.astype(der_ref.dtype)
 
-            douter = jax.lax.dot_general(
-                C2T_ref[...].astype(cd), dmid,
+            douterA = jax.lax.dot_general(
+                C2AT_ref[...].astype(cd), dmidA,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(cd)
+            ).astype(cd)                                   # [I, mul*T]
+            douterB = jax.lax.dot_general(
+                C2BT_ref[...].astype(cd), dmidB,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)                                   # [(J-1)*I, mul*T]
+            douter = jnp.concatenate([douterA, douterB], axis=0)
 
             dxb = None
             dsh_rows = []
@@ -915,22 +1121,19 @@ class PallasFullConv(PallasUVUConv):
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        J, I, K, mul, T = (self.J_dim, self.I_dim, self.K_dim, self.mul,
-                           self.tile)
-        P = len(self.paths)
+        J, I, mul, T = self.J_dim, self.I_dim, self.mul, self.tile
         nb = self.fc_dims[0]
         nW = len(self.fc_dims) - 1
-        G = len(self._mix)
         W = self.window
         cd = self.compute_dtype
-        C2 = self._C2
-        C2T = jnp.asarray(np.ascontiguousarray(np.asarray(self._C2).T))
+        C2A, C2B = self._C2A, self._C2B
+        C2AT, C2BT = self._C2AT, self._C2BT
+        KA8, KB8, K2 = self._KA8, self._KB8, self.K2
         out_rows = self.out_rows
         fwd_kernel = self._full_fwd_kernel()
         bwd_kernel = self._full_bwd_kernel()
         interpret = _use_interpret()
         grid = (E // T,)
-        n_tiles = E // T
 
         def edge_spec(shape):
             return pl.BlockSpec(shape, lambda t, *_: (0, t))
@@ -948,12 +1151,13 @@ class PallasFullConv(PallasUVUConv):
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in Ws
                 ] + [
-                    pl.BlockSpec((K, J * I), lambda t, *_: (0, 0)),
+                    pl.BlockSpec((KA8, I), lambda t, *_: (0, 0)),
+                    pl.BlockSpec((KB8, (J - 1) * I), lambda t, *_: (0, 0)),
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
                 ],
                 out_specs=pl.BlockSpec((N, out_rows), lambda t, *_: (0, 0)),
-                scratch_shapes=[pltpu.VMEM((K * mul, W), cd)],
+                scratch_shapes=[pltpu.VMEM((K2 * mul, W), cd)],
             )
             return pl.pallas_call(
                 fwd_kernel,
@@ -962,7 +1166,7 @@ class PallasFullConv(PallasUVUConv):
                 interpret=interpret,
                 **_compiler_params(interpret),
             )(win0, tile_first, tile_last, srcl, dstl, x_nodes, shT, er,
-              *Ws, C2, *wsel)
+              *Ws, C2A, C2B, *wsel)
 
         def run_bwd(x_nodes, shT, er, Ws, wsel, gout):
             gspec = pltpu.PrefetchScalarGridSpec(
@@ -977,8 +1181,10 @@ class PallasFullConv(PallasUVUConv):
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in Ws
                 ] + [
-                    pl.BlockSpec((K, J * I), lambda t, *_: (0, 0)),
-                    pl.BlockSpec((J * I, K), lambda t, *_: (0, 0)),
+                    pl.BlockSpec((KA8, I), lambda t, *_: (0, 0)),
+                    pl.BlockSpec((KB8, (J - 1) * I), lambda t, *_: (0, 0)),
+                    pl.BlockSpec((I, KA8), lambda t, *_: (0, 0)),
+                    pl.BlockSpec(((J - 1) * I, KB8), lambda t, *_: (0, 0)),
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
                 ] + [
@@ -994,8 +1200,8 @@ class PallasFullConv(PallasUVUConv):
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((K * mul, W), cd),             # dwin
-                    pltpu.VMEM((K * mul, W), cd),             # accw (remat)
+                    pltpu.VMEM((K2 * mul, W), cd),             # dwin
+                    pltpu.VMEM((K2 * mul, W), cd),             # accw (remat)
                 ],
             )
             out_shapes = [
@@ -1014,13 +1220,13 @@ class PallasFullConv(PallasUVUConv):
                 interpret=interpret,
                 **_compiler_params(interpret),
             )(win0, tile_first, tile_last, srcl, dstl, x_nodes, shT, er,
-              *Ws, C2, C2T, *wsel, gout)
+              *Ws, C2A, C2B, C2AT, C2BT, *wsel, gout)
 
         @jax.custom_vjp
-        def f(x_nodes, shT, er, Ws, wselT, wsel):
+        def f(x_nodes, shT, er, Ws, wsel):
             return run_fwd(x_nodes, shT, er, Ws, wsel)
 
-        def f_fwd(x_nodes, shT, er, Ws, wselT, wsel):
+        def f_fwd(x_nodes, shT, er, Ws, wsel):
             return run_fwd(x_nodes, shT, er, Ws, wsel), (
                 x_nodes, shT, er, Ws, wsel
             )
@@ -1031,14 +1237,9 @@ class PallasFullConv(PallasUVUConv):
             dx, dsh, der = outs[:3]
             dWs = list(outs[3: 3 + len(Ws)])
             dwsel = list(outs[3 + len(Ws):])
-            # the mix gradient is returned on the (untransposed) wsel leg —
-            # the primal only reads wsel, so wselT's cotangent is zero
-            dwselT = [jnp.zeros((w.shape[1], w.shape[0]), w.dtype)
-                      for w in wsel]
             return (
                 dx.astype(x_nodes.dtype), dsh, der.astype(er.dtype),
                 [d.astype(w.dtype) for d, w in zip(dWs, Ws)],
-                dwselT,
                 [d.astype(w.dtype) for d, w in zip(dwsel, wsel)],
             )
 
@@ -1075,10 +1276,9 @@ class PallasFullConv(PallasUVUConv):
         for i in range(len(self.fc_dims) - 1):
             w = fc_params[f"w{i}"] / (float(self.fc_dims[i]) ** 0.5)
             Ws.append(w.astype(cd))
-        Ws[-1] = Ws[-1][:, self._wcol_perm]
-        wselT, wsel = self._prep_wsel(linear_params)
+        Ws[-1] = Ws[-1][:, self._wcol_perm2]
+        wsel = self._prep_wsel2(linear_params)
         if pre_scale is not None:
-            wselT = [w * pre_scale for w in wselT]
             wsel = [w * pre_scale for w in wsel]
 
         srcl = src_local.reshape(1, E).astype(jnp.int32)
@@ -1087,7 +1287,7 @@ class PallasFullConv(PallasUVUConv):
                                  tile_first.astype(jnp.int32),
                                  tile_last.astype(jnp.int32),
                                  srcl, dstl)
-        acc = f(x_nodes, shT, er, Ws, wselT, wsel)   # [N, out_rows] f32
+        acc = f(x_nodes, shT, er, Ws, wsel)          # [N, out_rows] f32
         # kernel rows (g, dd, io, u) -> irreps_out columns (io, u, dd) via
         # dense slices + one transpose per (group, io) — an elementwise
         # jnp.take gather here costs ~20x the bandwidth floor on TPU
