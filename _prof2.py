@@ -20,32 +20,34 @@ def main():
     from equivariant_nn_zoo_tpu.run.loss import Loss
     from equivariant_nn_zoo_tpu.utils import build
 
+    from equivariant_nn_zoo_tpu.data.dataloader import estimate_capacities
+
     rng = np.random.default_rng(0)
     batch_size = 128
     cfg = get_config("config_energy")
     model = build(cfg.model_config)
     loss_obj = Loss(dict(cfg.loss_coeffs))
     mols = B.synthetic_qm9(batch_size * 4, rng)
-    n_nodes = [int(np.asarray(m["pos"]).shape[0]) for m in mols]
-    n_edges = [int(np.asarray(m["edge_index"]).shape[-1]) for m in mols]
-    head = 1.1 + 2.0 / (batch_size ** 0.5)
-    node_cap = int(np.ceil(batch_size * np.mean(n_nodes) * head / 128) * 128)
-    edge_cap = int(np.ceil(batch_size * np.mean(n_edges) * head / 128) * 128)
     tile = 128 if jax.default_backend() == "tpu" else None
-    if tile:
-        per_run = max(1, 121 // max(1, int(np.mean(n_nodes))))
-        n_runs = int(np.ceil(batch_size / per_run))
-        edge_cap = int(np.ceil(
-            (batch_size * np.mean(n_edges) * head + n_runs * tile) / tile
-        ) * tile)
-        node_cap = max(node_cap, 128)
-    batches = []
-    for b in range(4):
-        host = Batch.from_data_list(mols[b * batch_size:(b + 1) * batch_size])
-        gb = GraphBatch.from_batch(host, node_cap, edge_cap, batch_size,
-                                   edge_tile=tile)
-        assert gb.dropped == 0
-        batches.append(jax.device_put(gb))
+    node_cap, edge_cap = estimate_capacities(
+        mols, batch_size, edge_tile=tile, window=128
+    )
+    while True:
+        batches = []
+        for b in range(4):
+            host = Batch.from_data_list(
+                mols[b * batch_size:(b + 1) * batch_size]
+            )
+            gb = GraphBatch.from_batch(host, node_cap, edge_cap, batch_size,
+                                       edge_tile=tile)
+            if gb.dropped:
+                break
+            batches.append(gb)
+        if len(batches) == 4:
+            break
+        node_cap += 128
+        edge_cap += tile or 128
+    batches = [jax.device_put(gb) for gb in batches]
 
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-2)

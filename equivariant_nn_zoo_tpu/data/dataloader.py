@@ -85,31 +85,38 @@ def estimate_capacities(dataset, batch_size: int, sample: int = 256,
         # while padding waste drops ~15% vs mean*headroom.  Without deferral
         # (sharded loaders) use the bootstrap max.
         rng = np.random.default_rng(0)
-        all_slots, all_nodes = [], []
+        all_slots, all_runs = [], []
         for _ in range(64):
             sel = rng.integers(0, len(nodes), size=batch_size)
-            cur_nodes = window  # force a new run at the first graph
-            run_edges, slots, tot_nodes = 0, 0, 0
+            cur_nodes = window + 1  # force a new run at the first graph
+            run_edges, slots, n_runs = 0, 0, 0
             for i in sel:
-                if cur_nodes + nodes[i] <= window - 7:
+                if cur_nodes + nodes[i] <= window:
                     cur_nodes += nodes[i]
                     run_edges += edges[i]
                 else:
                     slots += math.ceil(run_edges / edge_tile) * edge_tile
                     cur_nodes = nodes[i]
                     run_edges = edges[i]
-                tot_nodes += nodes[i]
+                    n_runs += 1
+                if nodes[i] > window:
+                    raise ValueError(
+                        f"graph with {nodes[i]} nodes exceeds the "
+                        f"{window}-node scatter window"
+                    )
             slots += math.ceil(run_edges / edge_tile) * edge_tile
             all_slots.append(slots)
-            all_nodes.append(tot_nodes)
+            all_runs.append(n_runs)
         if defer_overflow:
             slots_cap = float(np.quantile(all_slots, 0.8))
-            nodes_cap = float(np.quantile(all_nodes, 0.8))
+            runs_cap = float(np.quantile(all_runs, 0.8))
         else:
             slots_cap = float(max(all_slots))
-            nodes_cap = float(max(all_nodes))
+            runs_cap = float(max(all_runs))
         edge_cap = int(math.ceil(slots_cap / edge_tile) * edge_tile) + edge_tile
-        node_cap = max(round_up(nodes_cap + 1), window)
+        # each run owns an exclusive window-sized node block, plus the
+        # shared trailing pad block (dummy node)
+        node_cap = (int(runs_cap) + 1) * window
     return node_cap, edge_cap
 
 
@@ -139,16 +146,8 @@ def _default_edge_tile(dataset):
     return 128
 
 
-_WORKER_DS = None
-
-
-def _worker_init(dataset):
-    global _WORKER_DS
-    _WORKER_DS = dataset
-
-
-def _worker_get(i):
-    return _WORKER_DS[i]
+def _worker_get(dataset, idx_chunk):
+    return [dataset[i] for i in idx_chunk]
 
 
 class DataLoader:
@@ -193,16 +192,16 @@ class DataLoader:
         self.worker_timeout = worker_timeout
         self._pool = None
         if self.num_workers > 0:
-            # fork the pool eagerly, before any prefetch thread exists
-            # (forking a multithreaded process risks inherited-lock hangs)
-            from concurrent.futures import ProcessPoolExecutor
-            import multiprocessing as mp
+            # threads, not processes: preprocessed items are numpy-rich and
+            # small-op-heavy, so process pools lose their parallel gains to
+            # result pickling (measured 1.3-2x SLOWER than serial at QM9
+            # scale); numpy releases the GIL in the distance/sort kernels,
+            # which is where the time is
+            from concurrent.futures import ThreadPoolExecutor
 
-            self._pool = ProcessPoolExecutor(
+            self._pool = ThreadPoolExecutor(
                 max_workers=self.num_workers,
-                mp_context=mp.get_context("fork"),
-                initializer=_worker_init,
-                initargs=(dataset,),
+                thread_name_prefix="e3loader",
             )
         self.dropped_graphs = 0
 
@@ -280,15 +279,29 @@ class DataLoader:
             return
         import collections
 
-        lookahead = max(2 * self.num_workers, 8)
+        # chunked tasks: per-item futures drown in pool round-trip overhead
+        # (QM9 items are ~0.3 ms); a chunk amortizes it ~chunk-fold
+        chunk = max(8, self.batch_size // max(1, self.num_workers))
+        lookahead = 2 * self.num_workers + 2
         pending: collections.deque = collections.deque()
-        try:
+
+        def chunks():
+            buf = []
             for i in flat:
-                pending.append(self._pool.submit(_worker_get, i))
+                buf.append(i)
+                if len(buf) == chunk:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        try:
+            for c in chunks():
+                pending.append(self._pool.submit(_worker_get, self.dataset, c))
                 if len(pending) >= lookahead:
-                    yield self._worker_result(pending.popleft())
+                    yield from self._worker_result(pending.popleft())
             while pending:
-                yield self._worker_result(pending.popleft())
+                yield from self._worker_result(pending.popleft())
         finally:
             while pending:
                 pending.popleft().cancel()

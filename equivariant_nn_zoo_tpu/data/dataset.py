@@ -25,7 +25,7 @@ from ..utils.utils import default_type_names, keyMap
 
 class CondensedDataset(Batch):
     def __init__(self, path=None, data={}, attrs={}, key_map={}, type_names=None,
-                 preprocess=[], **kwargs):
+                 preprocess=[], cache_preprocessed: bool = False, **kwargs):
         if path is not None:
             data, attrs = CondensedDataset.load(path)
             if isinstance(data, list):
@@ -38,6 +38,13 @@ class CondensedDataset(Batch):
             type_names = default_type_names()
         self.type_names = list(type_names)
         self.preprocess = preprocess
+        # opt-in memoization of preprocessed items: a huge host-pipeline win
+        # for DETERMINISTIC preprocess (e.g. radius graphs on static QM9
+        # coordinates — epoch >= 2 costs nothing), but it would freeze
+        # random augmentation (protein crop / stochastic long-range edges),
+        # so it must be enabled explicitly per workload.
+        self.cache_preprocessed = bool(cache_preprocessed)
+        self._item_cache = {}
         self.kwargs = kwargs
 
     @staticmethod
@@ -103,6 +110,8 @@ class CondensedDataset(Batch):
         if isinstance(idx, str):
             return self.data[idx]
         if isinstance(idx, (int, np.integer)):
+            if self.cache_preprocessed and int(idx) in self._item_cache:
+                return self._item_cache[int(idx)]
             data = self.get(int(idx)).clone()
             for func in self.preprocess:
                 sig = signature(func)
@@ -117,6 +126,8 @@ class CondensedDataset(Batch):
                     tensors, attrs = func(data.data, data.attrs)
                     data.data.update(tensors)
                     data.attrs = attrs
+            if self.cache_preprocessed:
+                self._item_cache[int(idx)] = data
             return data
         return self.index_select(idx)
 
@@ -124,6 +135,7 @@ class CondensedDataset(Batch):
         batch = super().index_select(idx)
         return CondensedDataset(
             type_names=self.type_names, preprocess=self.preprocess,
+            cache_preprocessed=self.cache_preprocessed,
             data=batch.data, attrs=batch.attrs,
         )
 

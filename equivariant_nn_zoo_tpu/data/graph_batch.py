@@ -233,30 +233,34 @@ class GraphBatch:
         # pack consecutive graphs into window "runs": all graphs of a run
         # share node windows, so their edges concatenate with the tile
         # padding paid once per run instead of once per graph (~5% overhead
-        # at QM9 scale instead of ~45%)
+        # at QM9 scale instead of ~45%).  Each run owns an EXCLUSIVE
+        # window-aligned node block [r*window, (r+1)*window): windows never
+        # overlap, so the kernel's per-window accumulators map 1:1 onto
+        # block-indexed outputs (see ops/pallas/fused_conv.py).  The last
+        # window-sized block of the node capacity is the shared pad block
+        # (dummy node at N-1).
+        max_runs = N // window - 1
         runs = []  # list of [graph indices]
         g_keep = 0
-        nodes_used = 0
         slots_used = 0
         cur_nodes = cur_edges = cur_slots = 0
         for i in range(min(g_total, n_graphs)):
-            if n_nodes[i] > window - 7:
+            if n_nodes[i] > window:
                 raise ValueError(
-                    f"graph {i} has {n_nodes[i]} nodes > window-7 "
-                    f"({window - 7}); tile-aligned batching requires graphs "
-                    "to fit the scatter window"
+                    f"graph {i} has {n_nodes[i]} nodes > window ({window}); "
+                    "tile-aligned batching requires graphs to fit the "
+                    "scatter window"
                 )
-            extend = bool(runs) and cur_nodes + n_nodes[i] <= window - 7
+            extend = bool(runs) and cur_nodes + n_nodes[i] <= window
             if extend:
                 new_slots = slots_of(cur_edges + n_edges[i])
                 delta = new_slots - cur_slots
             else:
+                if len(runs) >= max_runs:
+                    break
                 new_slots = slots_of(n_edges[i])
                 delta = new_slots
-            if (
-                nodes_used + n_nodes[i] <= node_capacity - 1
-                and slots_used + delta <= edge_capacity
-            ):
+            if slots_used + delta <= edge_capacity:
                 if extend:
                     runs[-1].append(i)
                     cur_nodes += int(n_nodes[i])
@@ -266,16 +270,32 @@ class GraphBatch:
                     cur_nodes = int(n_nodes[i])
                     cur_edges = int(n_edges[i])
                 cur_slots = new_slots
-                nodes_used += int(n_nodes[i])
                 slots_used += delta
                 g_keep += 1
             else:
                 break
         dropped = min(g_total, n_graphs) - g_keep
 
-        node_ofs = np.concatenate([[0], np.cumsum(n_nodes[:g_keep])])
         src_ofs = np.concatenate([[0], np.cumsum(n_edges[:g_keep])])
         edges_real = int(src_ofs[-1])
+
+        # node destinations: graph g of run r lands at r*window + intra-run
+        # offset; everything per-node scatters through node_dest
+        node_dest_of_graph = np.zeros(g_keep + 1, np.int64)
+        for r, graphs in enumerate(runs):
+            intra = 0
+            for i in graphs:
+                node_dest_of_graph[i] = r * window + intra
+                intra += int(n_nodes[i])
+        node_dest_parts = [
+            np.arange(int(n_nodes[i])) + int(node_dest_of_graph[i])
+            for r, graphs in enumerate(runs) for i in graphs
+        ]
+        node_dest = (
+            np.concatenate(node_dest_parts).astype(np.int64)
+            if node_dest_parts else np.zeros(0, np.int64)
+        )
+        nodes_real = len(node_dest)
 
         # run bookkeeping: slot offset, node start, slot span
         run_first = [r[0] for r in runs]
@@ -305,14 +325,14 @@ class GraphBatch:
 
         data = {}
         node_seg = np.full((N,), G, dtype=np.int32)
-        node_seg[:nodes_used] = batch.nodeSegment()[:nodes_used]
+        node_seg[node_dest] = batch.nodeSegment()[:nodes_real]
         data["_node_segment"] = node_seg
         edge_seg = np.full((E,), G, dtype=np.int32)
         if has_edges and g_keep:
             edge_seg[dest] = batch.edgeSegment()[:edges_real]
         data["_edge_segment"] = edge_seg
         node_mask = np.zeros((N, 1), np.float32)
-        node_mask[:nodes_used] = 1.0
+        node_mask[node_dest] = 1.0
         data["_node_mask"] = node_mask
         edge_mask = np.zeros((E, 1), np.float32)
         if g_keep:
@@ -322,19 +342,15 @@ class GraphBatch:
         graph_mask[:g_keep] = 1.0
         data["_graph_mask"] = graph_mask
 
-        # per-tile window start (clamped so the window stays in bounds);
-        # trailing all-padding tiles window onto the dummy node so their
-        # (zero) messages and cotangents land exactly where the reference
-        # layout puts them
-        # starts are rounded down to a multiple of 8 (TPU sublane
-        # alignment for the kernel's dynamic window loads); graphs must
-        # therefore fit window-7 nodes
-        win0 = np.full(n_tiles, max(0, (N - window) // 8 * 8), np.int32)
+        # per-tile window start: run r's exclusive node block [r*W, (r+1)*W);
+        # trailing all-padding tiles window onto the shared pad block (the
+        # dummy node lives there) so their zero messages and cotangents land
+        # exactly where the reference layout puts them
+        win0 = np.full(n_tiles, max(0, N - window), np.int32)
         for k in range(n_tiles):
             r = tile_run[k]
             if r >= 0:
-                w = min(int(node_ofs[run_first[r]]), max(0, N - window))
-                win0[k] = w // 8 * 8
+                win0[k] = r * window
         data["_edge_tile_win"] = win0
         # run boundaries for the kernel's window accumulator: a tile is
         # "first" when it starts a run (scratch reset) and "last" when it
@@ -363,11 +379,16 @@ class GraphBatch:
         src_local = np.full(E, min(window, N) - 1, np.int32)
         dst_local = np.full(E, min(window, N) - 1, np.int32)
         if g_keep:
+            # remap endpoints from the host batch's contiguous node ids to
+            # the window-block layout
+            node_shift = np.cumsum(np.concatenate([[0], n_nodes[:g_keep]]))
+            remap = np.full(int(node_shift[-1]) + 1, dummy, np.int64)
+            remap[:nodes_real] = node_dest
             orig = batch.data["edge_index"][:, :edges_real].astype(np.int64)
-            ei[:, dest] = orig
+            ei[:, dest] = remap[orig]
             for r in range(len(runs)):
                 lo, hi = int(run_slot_ofs[r]), int(run_slot_ofs[r + 1])
-                n0 = int(node_ofs[run_first[r]])
+                n0 = r * window
                 ei[:, lo:hi][ei[:, lo:hi] == dummy] = n0
             tile_of_slot = np.arange(E) // T
             w = win0[tile_of_slot]
@@ -391,7 +412,9 @@ class GraphBatch:
             elif np.issubdtype(value.dtype, np.integer):
                 value = value.astype(np.int32)
             if per == "node":
-                data[key] = pad_to(value[:nodes_used], N)
+                out = np.zeros((N,) + value.shape[1:], value.dtype)
+                out[node_dest] = value[:nodes_real]
+                data[key] = out
             elif per == "edge":
                 out = np.zeros((E,) + value.shape[1:], value.dtype)
                 if g_keep:
@@ -406,20 +429,23 @@ class GraphBatch:
         """Trim padding and return a host-side Batch (for dumps/analysis)."""
         data = {k: np.asarray(v) for k, v in self.data.items()}
         g = int(data["_graph_mask"][:, 0].sum())
-        n = int(data["_node_mask"][:, 0].sum())
-        # tile-aligned batches scatter real edges between padding; compact
-        # by mask (a prefix slice for the default layout, identical result)
+        # tile-aligned batches scatter real nodes/edges between padding;
+        # compact by mask (a prefix slice for the default layout, identical
+        # result) and renumber edge endpoints to the compacted node ids
+        n_sel = data["_node_mask"][:, 0] > 0
         e_sel = data["_edge_mask"][:, 0] > 0
+        inv = np.zeros(len(n_sel), np.int64)
+        inv[n_sel] = np.arange(int(n_sel.sum()))
         out = {}
         for key, value in data.items():
             if key.startswith("_") and key not in ("_n_nodes", "_n_edges"):
                 continue
             if key == "edge_index":
-                out[key] = value[:, e_sel].astype(np.int64)
+                out[key] = inv[value[:, e_sel].astype(np.int64)]
                 continue
             per = self.attrs.get(key, ("graph",))[0]
             if per == "node":
-                out[key] = value[:n]
+                out[key] = value[n_sel]
             elif per == "edge":
                 out[key] = value[e_sel]
             else:

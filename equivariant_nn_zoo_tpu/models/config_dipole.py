@@ -53,6 +53,9 @@ def get_config(spec=None):
     data.path = "multipole.hdf5"
     data.type_names = default_type_names(num_types)
     data.preprocess = [partial(computeEdgeIndex, r_max=model.r_max)]
+    # deterministic preprocess -> memoize items (epoch >= 2 is host-free)
+    data.cache_preprocessed = True
+    data.num_workers = 4
 
     if spec and "profiling" in spec:
         data.n_train = 2048

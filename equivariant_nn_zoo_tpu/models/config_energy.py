@@ -56,6 +56,9 @@ def get_config(spec=None):
     data.type_names = default_type_names(num_types)
     data.key_map = {"Z": "species", "R": "pos", "U0": "total_energy"}
     data.preprocess = [partial(computeEdgeIndex, r_max=model.r_max)]
+    # deterministic preprocess -> memoize items (epoch >= 2 is host-free)
+    data.cache_preprocessed = True
+    data.num_workers = 4
 
     if isinstance(spec, str) and "profiling" in spec:
         data.n_train = 1280

@@ -58,6 +58,9 @@ def get_config(spec=None):
     data.path = "/opt/shared-data/proteindata_cz/protein_E_and_F.hdf5"
     data.type_names = default_type_names(num_types)
     data.preprocess = [partial(computeEdgeIndex, r_max=model.r_max)]
+    # deterministic preprocess -> memoize items (epoch >= 2 is host-free)
+    data.cache_preprocessed = True
+    data.num_workers = 4
 
     if spec:
         override = eval(spec)

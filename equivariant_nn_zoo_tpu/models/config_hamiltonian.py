@@ -161,6 +161,9 @@ def get_config(spec=None):
     data.path = "h2o.hdf5"
     data.type_names = default_type_names(num_types)
     data.preprocess = [partial(computeEdgeIndex, r_max=model.r_max)]
+    # deterministic preprocess -> memoize items (epoch >= 2 is host-free)
+    data.cache_preprocessed = True
+    data.num_workers = 4
 
     edge_spherical = "1x0e+1x1o+1x2e+1x3o"
     layer_configs = featureModel(
