@@ -180,10 +180,19 @@ class DataLoader:
                 edge_tile=self.edge_tile, window=window,
                 defer_overflow=(num_shards == 1),
             )
-        elif self.edge_tile and edge_capacity % self.edge_tile:
-            edge_capacity = int(
-                math.ceil(edge_capacity / self.edge_tile) * self.edge_tile
-            )
+        else:
+            if self.edge_tile and edge_capacity % self.edge_tile:
+                edge_capacity = int(
+                    math.ceil(edge_capacity / self.edge_tile) * self.edge_tile
+                )
+            # the tiled packer gives every window-run an exclusive
+            # window-aligned node block (graph_batch._from_batch_tiled), so
+            # an explicit override must also be a multiple of the window —
+            # otherwise the pad block's win0 hint lies to the kernel
+            if self.edge_tile and node_capacity % window:
+                node_capacity = int(
+                    math.ceil(node_capacity / window) * window
+                )
         self.node_capacity = node_capacity
         self.edge_capacity = edge_capacity
         self.drop_last = drop_last
@@ -264,10 +273,13 @@ class DataLoader:
     def _item_stream(self):
         """Preprocessed items in index order.  With ``num_workers`` > 0 the
         per-item preprocessing (radius graph, crop, masked2indexed — the
-        actual host hotspot for protein workloads) runs in a pool of forked
-        worker processes with a lookahead window and a timeout guard; batch
+        actual host hotspot for protein workloads) runs on a thread pool
+        (numpy releases the GIL in the hot ops; process pools lose to result
+        pickling here) with a lookahead window and a timeout guard; batch
         assembly (collate/pad/deferral) stays sequential in the parent so
-        semantics are identical to the serial path.
+        semantics are identical to the serial path.  Note the timeout aborts
+        the *loader* — a hung preprocess thread cannot be cancelled and is
+        leaked (unlike the reference's killable worker processes).
 
         Reference parity: the torch DataLoader worker processes + timeout
         (e3_layers/run/trainer.py:286-299, data/dataloader.py:94).

@@ -218,6 +218,11 @@ class GraphBatch:
         n_graphs = g_total if n_graphs is None else n_graphs
         N, E, G = node_capacity, edge_capacity, n_graphs
         assert E % T == 0, f"edge capacity {E} not a multiple of tile {T}"
+        assert N % window == 0, (
+            f"node capacity {N} not a multiple of window {window}; the "
+            "kernel's pl.multiple_of(win0, 8) alignment hint and the "
+            "exclusive per-run node blocks both require window-aligned N"
+        )
         dummy = N - 1
 
         n_nodes = batch.data["_n_nodes"][:, 0].astype(np.int64)
@@ -274,6 +279,11 @@ class GraphBatch:
                 g_keep += 1
             else:
                 break
+        # CONTRACT: the pack loop stops at the FIRST graph that does not fit,
+        # so the dropped graphs are always a contiguous suffix of the input.
+        # DataLoader._batches relies on this to re-queue exactly
+        # items[len(items)-dropped:] for the next batch; a skip-and-continue
+        # packing strategy would silently duplicate/lose graphs there.
         dropped = min(g_total, n_graphs) - g_keep
 
         src_ofs = np.concatenate([[0], np.cumsum(n_edges[:g_keep])])

@@ -141,7 +141,15 @@ class FactorizedConvolution(Module):
 
                         if _jax.default_backend() == "tpu":
                             # whole-conv kernel, used when the batch is
-                            # tile-aligned (GraphBatch edge_tile mode)
+                            # tile-aligned (GraphBatch edge_tile mode).
+                            # INVARIANT: the kernel's VJP writes ZEROS for the
+                            # spherical-harmonics cotangent (compute_dsh=False
+                            # default) — correct only for models that never
+                            # differentiate through positions.  Config
+                            # builders that add position grads (forces,
+                            # score/diffusion heads) must either pin
+                            # pallas=False (layer_configs.addForceOutput) or
+                            # construct with compute_dsh=True.
                             self.full_conv = PallasFullConv(
                                 self.tp, self.fc, compute_dtype=cd
                             )

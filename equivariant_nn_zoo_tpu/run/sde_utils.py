@@ -38,7 +38,13 @@ class VPSDE:
         self.N = int(N)
         self.discrete_betas = np.linspace(beta_min / N, beta_max / N, N)
         self.alphas = 1.0 - self.discrete_betas
-        self.alphas_cumprod = np.cumprod(self.alphas)
+        # For coarse schedules (beta_max/N >= 1, e.g. small num_scales in
+        # smoke configs) the discrete alphas go non-positive and the raw
+        # cumprod alternates sign, poisoning the sqrt tables with NaNs that
+        # the NaN-skip guard would then silently convert into skipped steps.
+        # Clamp to [0, 1]: a clamped-to-0 tail means "fully noised", which is
+        # the correct limit of the continuous VP marginal.
+        self.alphas_cumprod = np.clip(np.cumprod(self.alphas), 0.0, 1.0)
         self.sqrt_alphas_cumprod = np.sqrt(self.alphas_cumprod)
         self.sqrt_1m_alphas_cumprod = np.sqrt(1.0 - self.alphas_cumprod)
         self.irreps = dict(diffusion_keys)

@@ -17,9 +17,10 @@ import shutil
 import sys
 import tempfile
 import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
 from pathlib import Path
-from queue import Queue
-from typing import List, Tuple, Union
+from typing import List, Optional, Union
 
 from .utils import default_type_names
 
@@ -107,6 +108,15 @@ def saveProtein(batch, workdir, idx=0, filename="tmp"):
 
 
 # ------------------------------------------------------- atomic async write
+#
+# Staged-file publication. ``atomic_write`` stages content into a temp file,
+# then hands a (staged, destination) pair to the publisher; publication is
+# a copy-into-destination-directory followed by an atomic rename, so readers
+# (and a preemption) only ever observe complete files. ``atomic_write_group``
+# batches several publications into one unit. Feature parity with the
+# reference's background-writer design (e3_layers/utils/saveload.py:103-190,
+# C15) but built on a single-lane ThreadPoolExecutor instead of a hand-rolled
+# thread + Queue.
 
 
 def _delete_files_if_exist(paths):
@@ -114,85 +124,116 @@ def _delete_files_if_exist(paths):
         Path(f).unlink(missing_ok=True)
 
 
-def _process_moves(moves: List[Tuple[bool, Path, Path]]):
-    """Blocking copy (possibly across filesystems) to a temp name in the
-    destination directory, then atomic rename."""
+@dataclass
+class _StagedWrite:
+    staged: Path  # temp file already holding the final content
+    destination: Path
+    sync: bool  # caller asked to block until the file is published
+
+
+def _publish(batch: List[_StagedWrite]) -> None:
+    """Publish a batch of staged files: land each next to its destination
+    (works across filesystems), then rename into place. Staged files are
+    always removed, even on failure, so aborted writes leave no litter."""
     try:
-        for _, from_name, to_name in moves:
-            tmp_path = to_name.parent / f".tmp-{to_name.name}~"
-            shutil.move(from_name, tmp_path)
-            tmp_path.rename(to_name)
-    finally:
-        _delete_files_if_exist([m[1] for m in moves])
-
-
-_ASYNC_ENABLED = os.environ.get("E3_ASYNC_WRITE", "true") == "true"
-
-_MOVE_QUEUE: Queue = Queue()
-_MOVE_THREAD = None
-
-
-def _moving_thread(q):
-    while True:
-        moves = q.get()
-        _process_moves(moves)
+        for w in batch:
+            landing = w.destination.parent / f".tmp-{w.destination.name}~"
+            shutil.move(w.staged, landing)
+            landing.rename(w.destination)
         logging.debug(
-            f"Finished writing {', '.join(m[2].name for m in moves)}"
+            "Published %s", ", ".join(w.destination.name for w in batch)
         )
-        q.task_done()
+    finally:
+        _delete_files_if_exist([w.staged for w in batch])
+
+
+class _Publisher:
+    """Runs `_publish` batches on a single-lane executor.
+
+    One worker lane keeps publications ordered (last-writer-wins semantics
+    for repeated saves of e.g. ``last.ckpt``). Failures are re-raised on the
+    main thread at the next submit or drain, never swallowed.
+    """
+
+    def __init__(self, asynchronous: bool):
+        self.asynchronous = asynchronous
+        self._pool: Optional[ThreadPoolExecutor] = None
+        self._inflight: List = []
+        self._guard = threading.Lock()
+
+    def _reap(self, wait: bool) -> None:
+        """Drop finished futures, re-raising the first stored exception."""
+        with self._guard:
+            inflight, self._inflight = self._inflight, []
+        failure = None
+        for fut in inflight:
+            if wait or fut.done():
+                exc = fut.exception()  # waits when not yet done
+                if exc is not None and failure is None:
+                    failure = exc
+            else:
+                with self._guard:
+                    self._inflight.append(fut)
+        if failure is not None:
+            raise RuntimeError("Async writer failed.") from failure
+
+    def submit(self, batch: List[_StagedWrite]) -> None:
+        if not batch:
+            return
+        if not self.asynchronous:
+            _publish(batch)
+            return
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="e3-writer"
+            )
+        self._reap(wait=False)
+        fut = self._pool.submit(_publish, batch)
+        with self._guard:
+            self._inflight.append(fut)
+        if any(w.sync for w in batch):
+            self._reap(wait=True)
+
+    def drain(self) -> None:
+        self._reap(wait=True)
+
+
+_PUBLISHER = _Publisher(
+    asynchronous=os.environ.get("E3_ASYNC_WRITE", "true") == "true"
+)
 
 
 def _submit_move(from_name, to_name, blocking: bool):
-    global _MOVE_THREAD
-    if not _ASYNC_ENABLED:
-        obj = (blocking, from_name, to_name)
-        if _MOVE_SET.get() is None:
-            _process_moves([obj])
-        else:
-            _MOVE_SET.get().append(obj)
-        return
-    if _MOVE_THREAD is None:
-        _MOVE_THREAD = threading.Thread(
-            target=_moving_thread, args=(_MOVE_QUEUE,), daemon=True
-        )
-        _MOVE_THREAD.start()
-    if not _MOVE_THREAD.is_alive():
-        _MOVE_THREAD.join()
-        raise RuntimeError("Writer thread failed.")
-    obj = (blocking, from_name, to_name)
-    if _MOVE_SET.get() is None:
-        _MOVE_QUEUE.put([obj])
-        if blocking:
-            _MOVE_QUEUE.join()
+    """Queue one staged file for publication (or append to the open group)."""
+    write = _StagedWrite(Path(from_name), Path(to_name), sync=blocking)
+    group = _MOVE_SET.get()
+    if group is None:
+        _PUBLISHER.submit([write])
     else:
-        _MOVE_SET.get().append(obj)
+        group.append(write)
 
 
 @contextlib.contextmanager
 def atomic_write_group():
-    """Group several writes into one queue submission so a preemption can
-    never observe a half-written checkpoint set.
+    """Collect every ``atomic_write`` in the block into one publication unit
+    so a preemption can never observe a half-written checkpoint set.
+    Entering while a group is already open joins the outer group.
 
     Reference parity: saveload.py:167-184.
     """
     if _MOVE_SET.get() is not None:
-        yield  # nesting is a no-op
+        yield
         return
-    token = _MOVE_SET.set(list())
-    yield
-    moves = _MOVE_SET.get()
-    if _ASYNC_ENABLED:
-        _MOVE_QUEUE.put(moves)
-        if any(m[0] for m in moves):
-            _MOVE_QUEUE.join()
-    else:
-        _process_moves(moves)
-    _MOVE_SET.reset(token)
+    token = _MOVE_SET.set([])
+    try:
+        yield
+        _PUBLISHER.submit(_MOVE_SET.get())
+    finally:
+        _MOVE_SET.reset(token)
 
 
 def finish_all_writes():
-    if _ASYNC_ENABLED:
-        _MOVE_QUEUE.join()
+    _PUBLISHER.drain()
 
 
 @contextlib.contextmanager

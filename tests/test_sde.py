@@ -86,6 +86,22 @@ def test_vpsde_marginal_statistics():
     )
 
 
+def test_vpsde_tables_finite_for_coarse_schedules():
+    # Coarse discrete schedules (beta_max/N >= 1, e.g. num_scales=10 smoke
+    # configs) used to drive alphas_cumprod negative -> NaN sqrt tables,
+    # silently skipped steps via the NaN guard. All tables must stay finite
+    # and within their mathematical ranges for any N.
+    for n in (2, 10, 50, 1000):
+        sde = VPSDE({"pos": 3}, beta_min=0.1, beta_max=20, N=n)
+        for name in ("alphas_cumprod", "sqrt_alphas_cumprod",
+                     "sqrt_1m_alphas_cumprod", "discrete_betas"):
+            table = getattr(sde, name)
+            assert np.isfinite(table).all(), (name, n)
+        assert (sde.alphas_cumprod >= 0).all() and (
+            sde.alphas_cumprod <= 1).all()
+        assert (sde.sqrt_1m_alphas_cumprod <= 1).all()
+
+
 def test_sde_loss_and_train_step(diffusion_model):
     cfg, model, params = diffusion_model
     sde = VPSDE(dict(cfg.diffusion_keys), N=50)
