@@ -91,6 +91,7 @@ class Trainer:
         ema_decay: float = 0.999,
         ema_use_num_updates=True,
         batch_size: int = 5,
+        grad_acc: int = 1,
         train_idcs: Optional[list] = None,
         val_idcs: Optional[list] = None,
         epoch_subdivision: int = 1,
@@ -108,9 +109,9 @@ class Trainer:
             "data_config workdir seed loss_coeffs train_on_keys "
             "metrics_components metric_key max_epochs learning_rate "
             "lr_scheduler_name optimizer_name max_gradient_norm use_ema "
-            "ema_decay ema_use_num_updates batch_size train_idcs val_idcs "
-            "epoch_subdivision equivariance_test profiling log_period "
-            "save_period watch_freq"
+            "ema_decay ema_use_num_updates batch_size grad_acc train_idcs "
+            "val_idcs epoch_subdivision equivariance_test profiling "
+            "log_period save_period watch_freq"
         ).split():
             setattr(self, key, locals()[key])
 
@@ -324,8 +325,39 @@ class Trainer:
             loss, contrib, out = forward(params, batch)
             return loss, contrib, out
 
+        # gradient accumulation (regression path): K micro-batch grads are
+        # summed on device, the optimizer consumes their mean every K-th
+        # batch — identical update to one K-times-larger batch when micro
+        # batches hold equally many real graphs.  Reference documents this
+        # workflow for regression (README.md:154); the SDE step fn has its
+        # own accumulator (sde_utils.py).
+        def accum_step(params, acc, batch):
+            def loss_fn(p):
+                loss, contrib, out = forward(p, batch)
+                return loss, (out, contrib)
+
+            (loss, (out, contrib)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            return acc, loss, contrib, out
+
+        k_acc = max(1, int(getattr(self, "grad_acc", 1) or 1))
+
+        def apply_step(params, opt_state, ema, acc):
+            grads = jax.tree_util.tree_map(lambda a: a / k_acc, acc)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if use_ema:
+                ema = ema_update(ema, params)
+            return params, opt_state, ema
+
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(eval_step)
+        self._accum_step = jax.jit(accum_step, donate_argnums=(1,))
+        self._apply_step = jax.jit(apply_step, donate_argnums=(0, 1, 2, 3))
+        self._acc = None
+        self._acc_count = 0
 
     def batch_step(self, data, validation=False):
         """Reference parity: trainer.py:358-399."""
@@ -338,6 +370,21 @@ class Trainer:
         if validation:
             params = self.ema["params"] if self.use_ema else self.params
             loss, contrib, out = self._eval_step(params, data)
+        elif int(getattr(self, "grad_acc", 1) or 1) > 1:
+            if self._acc is None:
+                self._acc = jax.tree_util.tree_map(
+                    jnp.zeros_like, self.params
+                )
+            self._acc, loss, contrib, out = self._accum_step(
+                self.params, self._acc, data
+            )
+            self._acc_count += 1
+            if self._acc_count >= int(self.grad_acc):
+                self.params, self.opt_state, self.ema = self._apply_step(
+                    self.params, self.opt_state, self.ema, self._acc
+                )
+                self._acc = None
+                self._acc_count = 0
         else:
             (
                 self.params,
@@ -747,7 +794,7 @@ class Trainer:
             "metrics_components", "metric_key", "max_epochs", "learning_rate",
             "lr_scheduler_name", "optimizer_name", "max_gradient_norm",
             "use_ema", "ema_decay", "ema_use_num_updates", "batch_size",
-            "train_idcs", "val_idcs", "epoch_subdivision",
+            "grad_acc", "train_idcs", "val_idcs", "epoch_subdivision",
         ]
 
     @property

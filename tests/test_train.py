@@ -129,6 +129,50 @@ def test_watch_histograms(qm9_file, tmp_path):
                if k.startswith("gradients/") and k.endswith("_norm"))
 
 
+def test_grad_acc_matches_large_batch(qm9_file, tmp_path):
+    """Regression-path gradient accumulation (reference README.md:154):
+    K accumulated micro-batches must produce the same update (params AND
+    EMA) as one K-times-larger batch, given equal real-graph counts."""
+    from equivariant_nn_zoo_tpu.data import Batch, GraphBatch
+
+    tr_a = make_trainer(qm9_file, tmp_path / "wa", grad_acc=2)
+    tr_b = make_trainer(qm9_file, tmp_path / "wb")
+    tr_a.init_metrics()
+    tr_b.init_metrics()
+    # same seed -> identical initial params in both trainers
+    chex = np.testing.assert_allclose
+
+    ds = CondensedDataset(
+        path=qm9_file,
+        key_map={"Z": ("species", "atom_types"), "R": "pos",
+                 "U0": "total_energy"},
+        preprocess=[partial(computeEdgeIndex, r_max=4.0)],
+    )
+    items = [ds[i] for i in range(16)]
+    micro1 = GraphBatch.from_batch(Batch.from_data_list(items[:8]), 256, 2048, 8)
+    micro2 = GraphBatch.from_batch(Batch.from_data_list(items[8:]), 256, 2048, 8)
+    combined = GraphBatch.from_batch(Batch.from_data_list(items), 512, 4096, 16)
+    assert micro1.dropped == micro2.dropped == combined.dropped == 0
+
+    tr_a.batch_step(micro1)
+    tr_a.batch_step(micro2)
+    tr_b.batch_step(combined)
+
+    flat_a = jax.tree_util.tree_leaves(tr_a.params)
+    flat_b = jax.tree_util.tree_leaves(tr_b.params)
+    for a, b in zip(flat_a, flat_b):
+        chex(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(tr_a.ema["params"]),
+                    jax.tree_util.tree_leaves(tr_b.ema["params"])):
+        chex(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+    # mid-accumulation: one more micro-batch must NOT move the params
+    before = jax.tree_util.tree_leaves(tr_a.params)
+    tr_a.batch_step(micro1)
+    after = jax.tree_util.tree_leaves(tr_a.params)
+    for a, b in zip(before, after):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_resume_restores_state(qm9_file, tmp_path):
     # simulate preemption: run one epoch of a longer schedule, save, resume
     tr = make_trainer(qm9_file, tmp_path / "wd1", max_epochs=10)
