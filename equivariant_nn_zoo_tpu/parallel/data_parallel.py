@@ -55,9 +55,24 @@ def _local_batch(stacked: GraphBatch) -> GraphBatch:
 
 
 def put_sharded(stacked: GraphBatch, mesh: Mesh, axis: str = "dp") -> GraphBatch:
-    """Place a stacked batch so its leading axis is split over the mesh."""
+    """Place a stacked batch so its leading axis is split over the mesh.
+
+    Single-process meshes device_put the whole array; multi-process (multi-
+    host) meshes assemble the global batch from each process's local shards
+    via ``jax.make_array_from_process_local_data`` — the leading axis of
+    ``stacked`` then holds only this process's sub-batches."""
+    from .mesh import is_multiprocess
+
     sharding = NamedSharding(mesh, P(axis))
-    data = {k: jax.device_put(v, sharding) for k, v in stacked.data.items()}
+    if is_multiprocess(mesh):
+        data = {
+            k: jax.make_array_from_process_local_data(
+                sharding, np.asarray(v)
+            )
+            for k, v in stacked.data.items()
+        }
+    else:
+        data = {k: jax.device_put(v, sharding) for k, v in stacked.data.items()}
     return GraphBatch(
         data, dict(stacked.attrs), stacked.n_graphs, stacked.node_capacity,
         stacked.edge_capacity,

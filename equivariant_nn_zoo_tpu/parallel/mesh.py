@@ -42,3 +42,17 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp",
 
 def replicated_spec(mesh: Mesh):
     return NamedSharding(mesh, PartitionSpec())
+
+
+def is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices owned by other processes (multi-host
+    DP: each process feeds only its local shard of the global batch)."""
+    pi = jax.process_index()
+    return any(d.process_index != pi for d in mesh.devices.flat)
+
+
+def local_mesh_size(mesh: Mesh) -> int:
+    """Number of mesh devices owned by this process — the number of batch
+    sub-shards this process's loader must produce."""
+    pi = jax.process_index()
+    return sum(1 for d in mesh.devices.flat if d.process_index == pi)

@@ -364,8 +364,14 @@ class Trainer:
         if self._train_step is None:
             self._build_steps()
         if self.mesh is not None:
-            from ..parallel.data_parallel import put_sharded
+            from ..parallel.data_parallel import put_sharded, stack_shards
+            from ..parallel.mesh import local_mesh_size
 
+            if local_mesh_size(self.mesh) == 1:
+                # multi-host with one local device: the loader yields an
+                # unstacked batch (num_shards=1); give it the leading
+                # device axis put_sharded splits over the mesh
+                data = stack_shards([data])
             data = put_sharded(data, self.mesh)
         if validation:
             params = self.ema["params"] if self.use_ema else self.params
@@ -542,7 +548,14 @@ class Trainer:
         self.dataset_train = dataset.index_select(self.train_idcs)
         self.dataset_val = validation_dataset.index_select(self.val_idcs)
 
-        num_shards = 1 if self.mesh is None else int(self.mesh.devices.size)
+        # this process's loader produces one sub-batch per LOCAL mesh device;
+        # other processes feed their own mesh shards (multi-host DP)
+        if self.mesh is None:
+            num_shards = 1
+        else:
+            from ..parallel.mesh import local_mesh_size
+
+            num_shards = local_mesh_size(self.mesh)
         from ..data.dataloader import _default_edge_tile
 
         edge_tile = _default_edge_tile(self.dataset_train)
@@ -552,6 +565,16 @@ class Trainer:
         )
         node_cap = data_config.get("node_capacity") or node_cap
         edge_cap = data_config.get("edge_capacity") or edge_cap
+        if self.mesh is not None and jax.process_count() > 1:
+            # static shapes must agree across processes (SPMD): take the max
+            # of every process's bootstrapped capacities
+            from jax.experimental import multihost_utils
+
+            caps = multihost_utils.process_allgather(
+                np.asarray([node_cap, edge_cap], np.int64)
+            )
+            node_cap = int(caps[:, 0].max())
+            edge_cap = int(caps[:, 1].max())
         dl_kwargs = dict(
             batch_size=self.batch_size,
             node_capacity=node_cap,
@@ -878,6 +901,10 @@ class Trainer:
                   blocking=blocking)
 
     def save(self, path=None, blocking: bool = True):
+        if self.rank > 0:
+            # rank-0-only checkpoint discipline (reference train.py:52,87,
+            # 183); params are replica-identical so nothing is lost
+            return None
         path = path or self.trainer_save_path
         state = self.as_dict(state_dict=True, training_progress=True)
         state["model_params"] = jax.device_get(self.params)

@@ -66,6 +66,24 @@ def _make_dp_mesh(batch_size: int, FLAGS):
     import jax
 
     n = FLAGS.dp if FLAGS.dp > 0 else len(jax.local_devices())
+    if jax.process_count() > 1:
+        # multi-host DP: a GLOBAL mesh over every process's devices; each
+        # process's loader feeds its local sub-shards and the step's psum
+        # rides the cross-host collective (DDP all-reduce analogue,
+        # reference train.py:272)
+        if batch_size % n != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by the {n} local "
+                "devices of this process"
+            )
+        from equivariant_nn_zoo_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(devices=jax.devices())
+        logging.info(
+            "data-parallel mesh over %d devices across %d processes",
+            mesh.devices.size, jax.process_count(),
+        )
+        return mesh
     if n <= 1:
         return None
     if len(jax.local_devices()) < n:
@@ -137,6 +155,7 @@ def train_regression(config, FLAGS):
     if jax.process_index() == 0:
         trainer.save()
     trainer.train()
+    return trainer
 
 
 def train_diffusion(e3_config, FLAGS):
@@ -321,6 +340,12 @@ def train_diffusion(e3_config, FLAGS):
 
 
 def main(argv):
+    # absl's app.run sys.exits on a non-None return; the trainer/state value
+    # of run() is for programmatic callers (tests, notebooks)
+    run(argv)
+
+
+def run(argv):
     import jax
 
     if FLAGS.platform:
@@ -330,6 +355,12 @@ def main(argv):
             logging.warning("could not force platform %s: %s",
                             FLAGS.platform, e)
     if FLAGS.world_size > 1:
+        try:
+            # CPU multi-process needs the gloo collectives backend (no-op /
+            # unavailable-config on TPU builds, where ICI is the transport)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
         jax.distributed.initialize(
             coordinator_address=f"{FLAGS.master_addr}:{FLAGS.master_port}",
             num_processes=FLAGS.world_size,
@@ -360,9 +391,9 @@ def main(argv):
 
     setSeed(FLAGS.seed)
     if "diffusion_keys" in config:
-        train_diffusion(config, FLAGS)
+        return train_diffusion(config, FLAGS)
     else:
-        train_regression(config, FLAGS)
+        return train_regression(config, FLAGS)
 
 
 if __name__ == "__main__":
