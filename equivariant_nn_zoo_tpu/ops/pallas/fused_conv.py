@@ -557,17 +557,23 @@ class PallasFullConv(PallasUVUConv):
         self._build_l2_split()
 
     def _build_l2_split(self):
-        """l2-sectioned TP bookkeeping.
+        """Per-sh-irrep sectioned TP bookkeeping.
 
-        Every K-row (a (group, component, path) triple) has exactly one sh
-        degree l2; rows with l2 == 0 contract only the J=1 scalar-sh block
-        of `outer` (I columns), rows with l2 >= 1 only the remaining
-        (J-1)*I columns.  Splitting the dense CG matmul along that
-        partition turns one [K, J*I]-contraction (3 MXU K-tiles at J*I=288)
-        into a tiny [KA, I] one plus a [KB, (J-1)*I=256] one (2 exact
-        K-tiles) — ~30% less MXU time on the two biggest matmuls (mid and
-        its adjoint), at the price of per-(group, section) bookkeeping for
-        the mix/flush slicing."""
+        Every K-row (a (group, component, path) triple) contracts exactly
+        ONE sh irrep's block of `outer` ((2*l2+1)*I columns).  Sectioning
+        the dense CG matmul per sh irrep (l2 = 0, 1, 2, ... for the
+        NequIP configs) replaces one [K, J*I] contraction with S narrow
+        ones [K_s, (2*l2+1)*I] — ~47%% fewer FLOPs and, because the
+        adjoint's contraction dim shrinks from K to K_s, ~half the MXU
+        passes on the two biggest matmuls (mid and its adjoint).  Cost:
+        per-(group, section) bookkeeping for the mix/flush slicing.
+
+        Section metadata (``self._secs``, ordered by sh row offset so the
+        adjoint blocks concatenate straight into `douter`):
+          jm0 / jdim — sh component rows covered ([jm0, jm0+jdim));
+          K8 — 8-rounded row count of the section's C block;
+          k0 — absolute row offset of the section inside the stacked
+          [K2, mul*T] mid tensor."""
 
         mul = self.mul
         J, I = self.J_dim, self.I_dim
@@ -581,57 +587,57 @@ class PallasFullConv(PallasUVUConv):
             return -(-x // 8) * 8
 
         G = len(self.groups)
-        secA = []  # per group: our-path indices with l2 == 0
-        secB = []
-        for (ir, k0, n_paths, d, p0) in self.groups:
-            pa, pb = [], []
+        n_sh = len(self.irreps_sh)
+        # per (sh-irrep, group): our-path indices using that sh irrep
+        paths_sg = [[[] for _ in range(G)] for _ in range(n_sh)]
+        for g, (ir, k0, n_paths, d, p0) in enumerate(self.groups):
             for m in range(n_paths):
                 p = p0 + m
-                l2 = self.irreps_sh[self.paths[p].i_in2].ir.l
-                (pa if l2 == 0 else pb).append(p)
-            secA.append(pa)
-            secB.append(pb)
+                paths_sg[self.paths[p].i_in2][g].append(p)
+        active = [s for s in range(n_sh) if any(paths_sg[s])]
 
-        # MLP column order: section-A paths by group, then section-B paths
-        self._p2 = [p for pa in secA for p in pa] + \
-                   [p for pb in secB for p in pb]
+        # MLP column order: sections outer (by sh slot), groups inner
+        self._p2 = [p for s in active for g in range(G)
+                    for p in paths_sg[s][g]]
         self._wcol_perm2 = jnp.asarray(np.concatenate([
             np.arange(self.path_w_offset[p], self.path_w_offset[p] + mul)
             for p in self._p2
         ]))
         w_ofs = {}
         ofs = 0
-        for g, pa in enumerate(secA):
-            w_ofs[(g, "A")] = ofs
-            ofs += len(pa)
-        for g, pb in enumerate(secB):
-            w_ofs[(g, "B")] = ofs
-            ofs += len(pb)
+        for s in active:
+            for g in range(G):
+                w_ofs[(g, s)] = ofs
+                ofs += len(paths_sg[s][g])
 
-        # K2 row layout: A-section rows (g, dd, m), pad8, then B-section
-        rowsA = sum(len(secA[g]) * self.groups[g][3] for g in range(G))
-        rowsB = sum(len(secB[g]) * self.groups[g][3] for g in range(G))
-        self._KA, self._KB = rowsA, rowsB
-        # a zero-row section still needs a nonempty (all-zero) operand —
-        # Mosaic blocks can't be 0-sized
-        self._KA8, self._KB8 = max(8, ceil8(rowsA)), max(8, ceil8(rowsB))
-        self.K2 = self._KA8 + self._KB8
-        k0A, k0B = {}, {}
-        ofs = 0
-        for g in range(G):
-            k0A[g] = ofs
-            ofs += len(secA[g]) * self.groups[g][3]
-        ofs = self._KA8
-        for g in range(G):
-            k0B[g] = ofs
-            ofs += len(secB[g]) * self.groups[g][3]
+        # section row layout: rows (g, dd, m) per section, pad8 per section
+        self._secs = []
+        k0_sg = {}
+        k2 = 0
+        for s in active:
+            rows = sum(
+                len(paths_sg[s][g]) * self.groups[g][3] for g in range(G)
+            )
+            K8 = max(8, ceil8(rows))
+            ofs = k2
+            for g in range(G):
+                k0_sg[(g, s)] = ofs
+                ofs += len(paths_sg[s][g]) * self.groups[g][3]
+            self._secs.append(dict(
+                sh=s, jm0=int(j_starts[s]),
+                jdim=self.irreps_sh[s].ir.dim, rows=rows, K8=K8, k0=k2,
+            ))
+            k2 += K8
+        self.K2 = k2
 
-        C2A = np.zeros((self._KA8, I), np.float32)
-        C2B = np.zeros((self._KB8, (J - 1) * I), np.float32)
-        for g, (ir, k0, n_paths, d, p0) in enumerate(self.groups):
-            for sec, plist, base in (("A", secA[g], k0A[g]),
-                                     ("B", secB[g], k0B[g])):
+        self._C2s, self._C2Ts = [], []
+        for sm in self._secs:
+            s = sm["sh"]
+            C = np.zeros((sm["K8"], sm["jdim"] * I), np.float32)
+            for g, (ir, k0, n_paths, d, p0) in enumerate(self.groups):
+                plist = paths_sg[s][g]
                 npg = len(plist)
+                base = k0_sg[(g, s)] - sm["k0"]
                 for m, p in enumerate(plist):
                     ins = self.paths[p]
                     l1 = self.irreps_in[ins.i_in1].ir.l
@@ -639,22 +645,13 @@ class PallasFullConv(PallasUVUConv):
                     l3 = mid_irreps[ins.i_out].ir.l
                     cg = wigner_3j(l1, l2, l3) * ins.path_weight
                     i0 = int(i_starts[ins.i_in1])
-                    j0 = int(j_starts[ins.i_in2])
                     for dd in range(d):
                         row = base + dd * npg + m
                         for m2 in range(2 * l2 + 1):
                             for m1 in range(2 * l1 + 1):
-                                if sec == "A":
-                                    C2A[row, i0 + m1] += cg[m1, m2, dd]
-                                else:
-                                    col = (j0 - 1 + m2) * I + i0 + m1
-                                    C2B[row - self._KA8, col] += (
-                                        cg[m1, m2, dd]
-                                    )
-        self._C2A = jnp.asarray(C2A)
-        self._C2B = jnp.asarray(C2B)
-        self._C2AT = jnp.asarray(np.ascontiguousarray(C2A.T))
-        self._C2BT = jnp.asarray(np.ascontiguousarray(C2B.T))
+                                C[row, m2 * I + i0 + m1] += cg[m1, m2, dd]
+            self._C2s.append(jnp.asarray(C))
+            self._C2Ts.append(jnp.asarray(np.ascontiguousarray(C.T)))
 
         # per-group sections for the mix/flush slicing, and wsel row perms
         self._mix2 = []
@@ -663,8 +660,8 @@ class PallasFullConv(PallasUVUConv):
             secs = []
             base_perm = np.asarray(self.group_row_perm[g])
             p0 = self.groups[g][4]
-            for name, plist, base in (("A", secA[g], k0A[g]),
-                                      ("B", secB[g], k0B[g])):
+            for si, sm in enumerate(self._secs):
+                plist = paths_sg[sm["sh"]][g]
                 if not plist:
                     continue
                 perm = np.concatenate([
@@ -672,7 +669,8 @@ class PallasFullConv(PallasUVUConv):
                     for p in plist
                 ])
                 secs.append(dict(
-                    k0=base, npg=len(plist), wofs=w_ofs[(g, name)],
+                    k0=k0_sg[(g, sm["sh"])], npg=len(plist),
+                    wofs=w_ofs[(g, sm["sh"])], si=si,
                     perm=jnp.asarray(perm), idx=sec_idx,
                 ))
                 sec_idx += 1
@@ -753,62 +751,50 @@ class PallasFullConv(PallasUVUConv):
         return pre, h.astype(cd)
 
     # -------------------------------------------------------------- kernels
-    def _tp_mid2(self, xb, sh, wT2, C2Av, C2Bv):
+    def _tp_mid2(self, xb, sh, wT2, C2vs):
         """xb [I, mul*T], sh [J, T], wT2 [P*mul, T] (rows in _p2 order) ->
         (mid2, wt2, w2d), all [K2*mul, T] with rows (section, k, u).
 
         The TP intermediate leaves the MXU in the wide (u, e)-minor layout
-        via TWO section matmuls (see _build_l2_split); one relayout per
-        section splits it to edge-minor rows, and the radial-weight factor
-        is assembled purely from 64-aligned row-block concats of the MLP
-        output transpose (free register stacking)."""
+        via one narrow matmul per sh-irrep section (see _build_l2_split);
+        one relayout per section splits it to edge-minor rows, and the
+        radial-weight factor is assembled purely from 64-aligned row-block
+        concats of the MLP output transpose (free register stacking)."""
         J, I, mul, T = self.J_dim, self.I_dim, self.mul, self.tile
-        KA8, KB8 = self._KA8, self._KB8
         cd = self.compute_dtype
         rows = []
         for j in range(J):
             srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
             rows.append(srep * xb)
-        outerA = rows[0]                                   # [I, mul*T]
-        outerB = jnp.concatenate(rows[1:], axis=0)         # [(J-1)*I, mul*T]
-        midA = jax.lax.dot_general(
-            C2Av.astype(cd), outerA,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(cd)                                       # [KA8, mul*T]
-        midB = jax.lax.dot_general(
-            C2Bv.astype(cd), outerB,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(cd)                                       # [KB8, mul*T]
-        mid2 = jnp.concatenate(
-            [midA.reshape(KA8 * mul, T), midB.reshape(KB8 * mul, T)],
-            axis=0,
-        )
+        mids = []
+        for si, sm in enumerate(self._secs):
+            outer_s = (
+                rows[sm["jm0"]] if sm["jdim"] == 1 else jnp.concatenate(
+                    rows[sm["jm0"]: sm["jm0"] + sm["jdim"]], axis=0
+                )
+            )                                              # [jdim*I, mul*T]
+            mid_s = jax.lax.dot_general(
+                C2vs[si].astype(cd), outer_s,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)                                   # [K8, mul*T]
+            mids.append(mid_s.reshape(sm["K8"] * mul, T))
+        mid2 = jnp.concatenate(mids, axis=0)
         # radial-weight rows matching the (section, g, dd, m, u) row order
         parts = []
-        pad_rows = 0
-
-        def flush_pad():
-            nonlocal pad_rows
-            if pad_rows:
-                parts.append(jnp.zeros((pad_rows * mul, T), cd))
-                pad_rows = 0
-
-        for region, pad_to in (("A", KA8), ("B", KB8)):
+        for si, sm in enumerate(self._secs):
             used = 0
             for g, mx in enumerate(self._mix2):
                 d = mx["d"]
                 for sec in mx["secs"]:
-                    in_a = sec["k0"] < self._KA8
-                    if (region == "A") != in_a:
+                    if sec["si"] != si:
                         continue
                     blk = wT2[sec["wofs"] * mul:
                               (sec["wofs"] + sec["npg"]) * mul, :]
                     parts.extend([blk] * d)
                     used += sec["npg"] * d
-            pad_rows = pad_to - used
-            flush_pad()
+            if sm["K8"] - used:
+                parts.append(jnp.zeros(((sm["K8"] - used) * mul, T), cd))
         wt2 = jnp.concatenate(parts, axis=0)               # [K2*mul, T]
         return mid2, wt2, mid2 * wt2
 
@@ -822,13 +808,15 @@ class PallasFullConv(PallasUVUConv):
         cd = self.compute_dtype
         mix2 = self._mix2
 
+        nSec = len(self._secs)
+
         def kernel(win0_ref, first_ref, last_ref, *args):
             (srcl_ref, dstl_ref, x_ref, shT_ref, er_ref) = args[:5]
             W_refs = args[5: 5 + nW]
-            C2A_ref, C2B_ref = args[5 + nW: 7 + nW]
-            wsel_refs = args[7 + nW: 7 + nW + S]
-            acc_ref = args[7 + nW + S]
-            accw_ref = args[8 + nW + S]                   # scratch [K2*mul, W]
+            C2_refs = args[5 + nW: 5 + nW + nSec]
+            wsel_refs = args[5 + nW + nSec: 5 + nW + nSec + S]
+            acc_ref = args[5 + nW + nSec + S]
+            accw_ref = args[6 + nW + nSec + S]            # scratch [K2*mul, W]
 
             t = pl.program_id(0)
             w0 = pl.multiple_of(win0_ref[t], 8)
@@ -847,7 +835,8 @@ class PallasFullConv(PallasUVUConv):
             _, w_edge = self._mlp_fwd(er_ref[...], [w[...] for w in W_refs])
             wT2 = jnp.transpose(w_edge)                   # [P*mul, T]
             _, _, w2d = self._tp_mid2(
-                xb, shT_ref[...].astype(cd), wT2, C2A_ref[...], C2B_ref[...]
+                xb, shT_ref[...].astype(cd), wT2,
+                [c[...] for c in C2_refs],
             )
             # scatter the UNMIXED weighted TP into the window accumulator:
             # one MXU-shaped matmul (M = K2*mul) instead of 32 mix-width
@@ -903,15 +892,17 @@ class PallasFullConv(PallasUVUConv):
         S = self.n_secs
         cd = self.compute_dtype
         mix2 = self._mix2
-        KA8, KB8 = self._KA8, self._KB8
+        nSec = len(self._secs)
+        secs_meta = self._secs
 
         def kernel(win0_ref, first_ref, last_ref, *args):
             (srcl_ref, dstl_ref, x_ref, shT_ref, er_ref) = args[:5]
             W_refs = args[5: 5 + nW]
-            (C2A_ref, C2B_ref, C2AT_ref, C2BT_ref) = args[5 + nW: 9 + nW]
-            wsel_refs = args[9 + nW: 9 + nW + S]
-            gout_ref = args[9 + nW + S]
-            n_in = 10 + nW + S
+            C2_refs = args[5 + nW: 5 + nW + nSec]
+            C2T_refs = args[5 + nW + nSec: 5 + nW + 2 * nSec]
+            wsel_refs = args[5 + nW + 2 * nSec: 5 + nW + 2 * nSec + S]
+            gout_ref = args[5 + nW + 2 * nSec + S]
+            n_in = 6 + nW + 2 * nSec + S
             dx_ref, dsh_ref, der_ref = args[n_in: n_in + 3]
             dW_refs = args[n_in + 3: n_in + 3 + nW]
             dwsel_refs = args[n_in + 3 + nW: n_in + 3 + nW + S]
@@ -935,19 +926,18 @@ class PallasFullConv(PallasUVUConv):
             # per-window upstream cotangent of the UNMIXED accumulator:
             # dwin[(k,u), w] = sum_{io,u'} wsel gout[w0+w, ...] — computed
             # once per run (the mix weights are per-window constants).
-            # Blocks are emitted in scratch row order: A-section groups,
-            # zero pad to KA8, B-section groups, pad to KB8.
+            # Blocks are emitted in scratch row order: per section, its
+            # groups' blocks then a zero pad to that section's K8.
             @pl.when(first_ref[t] == 1)
             def _():
                 gw = gout_ref[pl.ds(w0, W), :].astype(cd)
                 blocks = []
-                for region, pad_to in (("A", KA8), ("B", KB8)):
+                for si, sm in enumerate(secs_meta):
                     used = 0
                     for g, mx in enumerate(mix2):
                         Wg, d = mx["Wg"], mx["d"]
                         for sec in mx["secs"]:
-                            in_a = sec["k0"] < KA8
-                            if (region == "A") != in_a:
+                            if sec["si"] != si:
                                 continue
                             ws_g = wsel_refs[sec["idx"]][...]
                             for dd in range(d):
@@ -962,9 +952,10 @@ class PallasFullConv(PallasUVUConv):
                                     )
                                 )                          # [npg*mul, W]
                             used += sec["npg"] * d
-                    if pad_to - used:
+                    if sm["K8"] - used:
                         blocks.append(
-                            jnp.zeros(((pad_to - used) * mul, W), jnp.float32)
+                            jnp.zeros(((sm["K8"] - used) * mul, W),
+                                      jnp.float32)
                         )
                 dwin_ref[...] = jnp.concatenate(blocks, axis=0).astype(
                     dwin_ref.dtype
@@ -988,8 +979,8 @@ class PallasFullConv(PallasUVUConv):
             wT2 = jnp.transpose(w_edge)                    # [P*mul, T]
 
             # recompute forward intermediates (remat)
-            mid2, wt2, w2d = self._tp_mid2(xb, sh, wT2, C2A_ref[...],
-                                           C2B_ref[...])
+            mid2, wt2, w2d = self._tp_mid2(xb, sh, wT2,
+                                           [c[...] for c in C2_refs])
             contrib = jax.lax.dot_general(
                 w2d, one_d,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1005,15 +996,14 @@ class PallasFullConv(PallasUVUConv):
             ).astype(cd)                                   # [K2*mul, T]
 
             # radial-weight cotangent: rows (k,u) -> sum components per
-            # path, emitted in _p2 (A-sections then B-sections) order
+            # path, emitted in _p2 (sections outer, groups inner) order
             dwp2 = dw2d * mid2
             dwt_blocks = []
-            for region in ("A", "B"):
+            for si in range(nSec):
                 for g, mx in enumerate(mix2):
                     d = mx["d"]
                     for sec in mx["secs"]:
-                        in_a = sec["k0"] < KA8
-                        if (region == "A") != in_a:
+                        if sec["si"] != si:
                             continue
                         dw_acc = None
                         for dd in range(d):
@@ -1048,8 +1038,6 @@ class PallasFullConv(PallasUVUConv):
 
             # TP-intermediate cotangent back to the wide layout for C2^T
             dmid2 = dw2d * wt2
-            dmidA = dmid2[: KA8 * mul, :].reshape(KA8, mul * T)
-            dmidB = dmid2[KA8 * mul:, :].reshape(KB8, mul * T)
             dwT2 = jnp.concatenate(dwt_blocks, axis=0)     # [P*mul, T]
 
             # radial MLP backward (dwT2 -> d edge_radial + dW)
@@ -1075,17 +1063,28 @@ class PallasFullConv(PallasUVUConv):
                     dh = act_vjp(dh.astype(pre[i - 1].dtype))[0].astype(cd)
             der_ref[...] = dh.astype(der_ref.dtype)
 
-            douterA = jax.lax.dot_general(
-                C2AT_ref[...].astype(cd), dmidA,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(cd)                                   # [I, mul*T]
-            douterB = jax.lax.dot_general(
-                C2BT_ref[...].astype(cd), dmidB,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(cd)                                   # [(J-1)*I, mul*T]
-            douter = jnp.concatenate([douterA, douterB], axis=0)
+            # adjoint per section: contraction dim shrinks to each
+            # section's K8 (the big MXU win of the per-l2 split); inactive
+            # sh rows (irreps with no paths) get zero blocks
+            dblocks = []
+            jm_done = 0
+            for si, sm in enumerate(secs_meta):
+                if sm["jm0"] > jm_done:
+                    dblocks.append(jnp.zeros(
+                        ((sm["jm0"] - jm_done) * I, mul * T), cd
+                    ))
+                dmid_s = dmid2[
+                    sm["k0"] * mul: (sm["k0"] + sm["K8"]) * mul, :
+                ].reshape(sm["K8"], mul * T)
+                dblocks.append(jax.lax.dot_general(
+                    C2T_refs[si][...].astype(cd), dmid_s,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(cd))                              # [jdim*I, mul*T]
+                jm_done = sm["jm0"] + sm["jdim"]
+            if jm_done < J:
+                dblocks.append(jnp.zeros(((J - jm_done) * I, mul * T), cd))
+            douter = jnp.concatenate(dblocks, axis=0)
 
             dxb = None
             dsh_rows = []
@@ -1126,9 +1125,8 @@ class PallasFullConv(PallasUVUConv):
         nW = len(self.fc_dims) - 1
         W = self.window
         cd = self.compute_dtype
-        C2A, C2B = self._C2A, self._C2B
-        C2AT, C2BT = self._C2AT, self._C2BT
-        KA8, KB8, K2 = self._KA8, self._KB8, self.K2
+        C2s, C2Ts = self._C2s, self._C2Ts
+        K2 = self.K2
         out_rows = self.out_rows
         fwd_kernel = self._full_fwd_kernel()
         bwd_kernel = self._full_bwd_kernel()
@@ -1151,8 +1149,7 @@ class PallasFullConv(PallasUVUConv):
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in Ws
                 ] + [
-                    pl.BlockSpec((KA8, I), lambda t, *_: (0, 0)),
-                    pl.BlockSpec((KB8, (J - 1) * I), lambda t, *_: (0, 0)),
+                    pl.BlockSpec(c.shape, lambda t, *_: (0, 0)) for c in C2s
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
                 ],
@@ -1166,7 +1163,7 @@ class PallasFullConv(PallasUVUConv):
                 interpret=interpret,
                 **_compiler_params(interpret),
             )(win0, tile_first, tile_last, srcl, dstl, x_nodes, shT, er,
-              *Ws, C2A, C2B, *wsel)
+              *Ws, *C2s, *wsel)
 
         def run_bwd(x_nodes, shT, er, Ws, wsel, gout):
             gspec = pltpu.PrefetchScalarGridSpec(
@@ -1181,10 +1178,10 @@ class PallasFullConv(PallasUVUConv):
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in Ws
                 ] + [
-                    pl.BlockSpec((KA8, I), lambda t, *_: (0, 0)),
-                    pl.BlockSpec((KB8, (J - 1) * I), lambda t, *_: (0, 0)),
-                    pl.BlockSpec((I, KA8), lambda t, *_: (0, 0)),
-                    pl.BlockSpec(((J - 1) * I, KB8), lambda t, *_: (0, 0)),
+                    *[pl.BlockSpec(c.shape, lambda t, *_: (0, 0))
+                      for c in C2s],
+                    *[pl.BlockSpec(c.shape, lambda t, *_: (0, 0))
+                      for c in C2Ts],
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
                 ] + [
@@ -1220,7 +1217,7 @@ class PallasFullConv(PallasUVUConv):
                 interpret=interpret,
                 **_compiler_params(interpret),
             )(win0, tile_first, tile_last, srcl, dstl, x_nodes, shT, er,
-              *Ws, C2A, C2B, C2AT, C2BT, *wsel, gout)
+              *Ws, *C2s, *C2Ts, *wsel, gout)
 
         @jax.custom_vjp
         def f(x_nodes, shT, er, Ws, wsel):
