@@ -1159,7 +1159,12 @@ class PallasFullConv(PallasUVUConv):
             return pl.pallas_call(
                 fwd_kernel,
                 grid_spec=gspec,
-                out_shape=jax.ShapeDtypeStruct((N, out_rows), jnp.float32),
+                # the node accumulator leaves the kernel in compute dtype:
+                # each exclusive window is written exactly once (f32 mix
+                # dots, rounded on store), and the downstream formatting /
+                # gate run in compute dtype anyway — halves the formatting
+                # HBM traffic
+                out_shape=jax.ShapeDtypeStruct((N, out_rows), cd),
                 interpret=interpret,
                 **_compiler_params(interpret),
             )(win0, tile_first, tile_last, srcl, dstl, x_nodes, shT, er,
@@ -1284,11 +1289,12 @@ class PallasFullConv(PallasUVUConv):
                                  tile_first.astype(jnp.int32),
                                  tile_last.astype(jnp.int32),
                                  srcl, dstl)
-        acc = f(x_nodes, shT, er, Ws, wsel)          # [N, out_rows] f32
+        acc = f(x_nodes, shT, er, Ws, wsel)     # [N, out_rows] compute dtype
         # kernel rows (g, dd, io, u) -> irreps_out columns (io, u, dd) via
         # dense slices + one transpose per (group, io) — an elementwise
-        # jnp.take gather here costs ~20x the bandwidth floor on TPU
-        acc = acc.astype(out_dtype)
+        # jnp.take gather here costs ~20x the bandwidth floor on TPU.
+        # Formatting stays in compute dtype; the cast to out_dtype happens
+        # on the final per-io blocks.
         per_io = {}
         for g, mx in enumerate(self._mix):
             Wg, d = mx["Wg"], mx["d"]
@@ -1305,7 +1311,7 @@ class PallasFullConv(PallasUVUConv):
         outs = []
         for io, mo in enumerate(self.linear.irreps_out):
             if io in per_io:
-                outs.append(per_io[io])
+                outs.append(per_io[io].astype(out_dtype))
             else:
                 outs.append(
                     jnp.zeros((num_nodes, mo.mul * mo.ir.dim), out_dtype)
