@@ -1,14 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: QM9 config_energy training throughput (graphs/sec/chip).
+"""Benchmarks.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Default (`python bench.py`, the driver contract): QM9 config_energy
+training throughput, ONE JSON line
+`{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}`.
 
-Baseline context (BASELINE.md): the reference publishes no throughput numbers;
-the driver's north star is >=5x an A100's config_energy training throughput on
-a TPU chip.  An A100 running the reference (torch 1.11 + e3nn 0.4.4 TorchScript,
-batch 128, 6.1M params, 5 interaction layers) sustains roughly 1,100
-graphs/sec on QM9-sized molecules (per NequIP-era published benchmarks of the
-same architecture); vs_baseline is measured against that estimate.
+Other modes (`python bench.py <mode>`): one JSON line per workload.
+  energy_force  GradientOutput force training (grad_order=2 Pallas path)
+  diffusion     VP-SDE score-model training (config_diffusion)
+  hamiltonian   H2O hamiltonian-matrix training (config_hamiltonian)
+  e2e           Trainer-path config_energy via the production DataLoader
+  all           every mode above plus the headline
+
+Baseline context (BASELINE.md): the reference publishes no throughput
+numbers; the driver's north star is >=5x an A100's config_energy training
+throughput on a TPU chip.  An A100 running the reference (torch 1.11 +
+e3nn 0.4.4 TorchScript, batch 128, 6.1M params, 5 interaction layers)
+sustains roughly 1,100 graphs/sec on QM9-sized molecules (per NequIP-era
+published benchmarks of the same architecture); vs_baseline is measured
+against that estimate.
 """
 
 import json
@@ -19,6 +29,9 @@ from functools import partial
 import numpy as np
 
 A100_REFERENCE_GRAPHS_PER_SEC = 1100.0
+
+
+# --------------------------------------------------------------- data makers
 
 
 def synthetic_qm9(n_mol, rng):
@@ -47,50 +60,207 @@ def synthetic_qm9(n_mol, rng):
     return mols
 
 
-def main():
+def synthetic_fragments(n_mol, rng, r_max=5.0, num_types=20):
+    """Protein-fragment-like molecules with energy+force targets."""
+    from equivariant_nn_zoo_tpu.data import Batch, Data, computeEdgeIndex
+
+    mols = []
+    for _ in range(n_mol):
+        n = int(rng.integers(8, 24))
+        d = {
+            "pos": rng.normal(size=(n, 3)) * 1.6,
+            "species": rng.integers(0, num_types, size=(n, 1)),
+            "energy": rng.normal(size=(1, 1)),
+            "forces": rng.normal(size=(n, 3)).astype(np.float32),
+        }
+        d["atom_types"] = d["species"]
+        attrs = {
+            "pos": ("node", "1x1o"),
+            "species": ("node", "1x0e"),
+            "atom_types": ("node", "1x0e"),
+            "energy": ("graph", "1x0e"),
+            "forces": ("node", "1x1o"),
+        }
+        out, attrs = computeEdgeIndex(d, attrs, r_max=r_max)
+        d.update(out)
+        mols.append(Data(attrs, **d))
+    return mols
+
+
+def synthetic_diffusion_mols(n_mol, rng, num_types=18):
+    """Molecules for the score model: fully-connected edges (r_max=9999,
+    reference config_diffusion preprocess), normalized positions."""
+    from equivariant_nn_zoo_tpu.data import Batch, Data, computeEdgeIndex
+
+    mols = []
+    for _ in range(n_mol):
+        n = int(rng.integers(8, 20))
+        d = {
+            "pos": (rng.normal(size=(n, 3)) * 0.5).astype(np.float32),
+            "species": rng.integers(0, num_types, size=(n, 1)),
+        }
+        d["atom_types"] = d["species"]
+        attrs = {
+            "pos": ("node", "1x1o"),
+            "species": ("node", "1x0e"),
+            "atom_types": ("node", "1x0e"),
+        }
+        out, attrs = computeEdgeIndex(d, attrs, r_max=9999.0)
+        d.update(out)
+        mols.append(Data(attrs, **d))
+    return mols
+
+
+def synthetic_h2o(n_mol, rng):
+    from equivariant_nn_zoo_tpu.data import Batch, Data, computeEdgeIndex
+
+    mols = []
+    base = np.array([[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]])
+    for _ in range(n_mol):
+        d = {
+            "pos": base + rng.normal(scale=0.03, size=(3, 3)),
+            "species": np.array([[8], [1], [1]]),
+            "hamiltonian": rng.normal(size=(1, 576)).astype(np.float32),
+        }
+        d["atom_types"] = d["species"]
+        attrs = {
+            "pos": ("node", "1x1o"),
+            "species": ("node", "1x0e"),
+            "atom_types": ("node", "1x0e"),
+            "hamiltonian": ("graph", 576),
+        }
+        out, attrs = computeEdgeIndex(d, attrs, r_max=4.0)
+        d.update(out)
+        mols.append(Data(attrs, **d))
+    return mols
+
+
+# ----------------------------------------------------------------- harness
+
+
+def make_batches(mols, batch_size, n_batches=4, window=128):
+    """Tile-aligned device batches at production-estimated capacities,
+    bumped until no graph is dropped (the real loader defers instead)."""
     import jax
-    import jax.numpy as jnp
-    import optax
 
     from equivariant_nn_zoo_tpu.data import Batch, GraphBatch
-    from equivariant_nn_zoo_tpu.models import get_config
-    from equivariant_nn_zoo_tpu.run.loss import Loss
-    from equivariant_nn_zoo_tpu.utils import build
-
-    rng = np.random.default_rng(0)
-    batch_size = 128
-
-    cfg = get_config("config_energy")
-    model = build(cfg.model_config)
-    loss_obj = Loss(dict(cfg.loss_coeffs))
-
-    mols = synthetic_qm9(batch_size * 4, rng)
-    # production-loader capacities (estimate_capacities): bootstrap-max for
-    # the tile-aligned TPU layout, mean*headroom otherwise
     from equivariant_nn_zoo_tpu.data.dataloader import estimate_capacities
 
     tile = 128 if jax.default_backend() == "tpu" else None
     node_cap, edge_cap = estimate_capacities(
-        mols, batch_size, edge_tile=tile, window=128
+        mols, batch_size, edge_tile=tile, window=window
     )
-    # the production loader defers overflow graphs; the bench uses fixed
-    # batches, so bump the (quantile-based) capacities until all four fit
     while True:
         batches = []
-        for b in range(4):
+        for b in range(n_batches):
             host = Batch.from_data_list(
-                mols[b * batch_size : (b + 1) * batch_size]
+                mols[b * batch_size:(b + 1) * batch_size]
             )
             gb = GraphBatch.from_batch(host, node_cap, edge_cap, batch_size,
                                        edge_tile=tile)
             if gb.dropped:
                 break
             batches.append(gb)
-        if len(batches) == 4:
+        if len(batches) == n_batches:
             break
-        node_cap += 128
+        node_cap += window
         edge_cap += tile or 128
-    batches = [jax.device_put(gb) for gb in batches]
+    return [jax.device_put(gb) for gb in batches], node_cap, edge_cap
+
+
+def measure_steps(step, n_steps=200, trace_check=False, payload=None):
+    """Wall-clock over many steps (axon: block_until_ready alone does not
+    reliably wait; queue backpressure dominates at a few hundred steps),
+    optionally cross-checked against profiler-aggregated device time."""
+    import jax
+
+    out = None
+    for i in range(8):  # warmup beyond compile
+        out = step(i)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        out = step(i)
+    jax.block_until_ready(out)
+    wall_step = (time.perf_counter() - t0) / n_steps
+
+    if trace_check:
+        dev_step = None
+        try:
+            import glob
+            import gzip
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as td:
+                n_prof = 30
+                with jax.profiler.trace(td):
+                    for i in range(n_prof):
+                        out = step(i)
+                    jax.block_until_ready(out)
+                time.sleep(0.5)
+                traces = sorted(
+                    glob.glob(td + "/**/*.trace.json.gz", recursive=True)
+                )
+                if traces:
+                    ev = json.load(gzip.open(traces[-1])).get(
+                        "traceEvents", []
+                    )
+                    tot = 0.0
+                    for e in ev:
+                        a = e.get("args", {})
+                        if e.get("ph") == "X" and "hlo_category" in a:
+                            tot += int(
+                                a.get("device_duration_ps", "0")
+                            ) / 1e12
+                    if tot > 0:
+                        dev_step = tot / n_prof
+        except Exception as e:  # profiling is best-effort
+            sys.stderr.write(f"bench trace cross-check unavailable: {e}\n")
+        if dev_step is not None:
+            skew = abs(dev_step - wall_step) / wall_step
+            sys.stderr.write(
+                f"bench methodology: wall {wall_step*1e3:.2f} ms/step, "
+                f"device {dev_step*1e3:.2f} ms/step, skew {skew:.1%}\n"
+            )
+            if skew > 0.15:
+                sys.stderr.write(
+                    "WARNING: wall-clock and trace-aggregated step times "
+                    "disagree by >15%; reporting the slower "
+                    "(conservative)\n"
+                )
+                wall_step = max(wall_step, dev_step)
+    return wall_step
+
+
+def emit(metric, graphs_per_sec, extra=None):
+    rec = {
+        "metric": metric,
+        "value": round(graphs_per_sec, 2),
+        "unit": "graphs/sec/chip",
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+
+
+# ---------------------------------------------------------------- workloads
+
+
+def bench_energy():
+    import jax
+    import optax
+
+    from equivariant_nn_zoo_tpu.models import get_config
+    from equivariant_nn_zoo_tpu.run.loss import Loss
+    from equivariant_nn_zoo_tpu.utils import build
+
+    rng = np.random.default_rng(0)
+    batch_size = 128
+    cfg = get_config("config_energy")
+    model = build(cfg.model_config)
+    loss_obj = Loss(dict(cfg.loss_coeffs))
+    mols = synthetic_qm9(batch_size * 4, rng)
+    batches, _, _ = make_batches(mols, batch_size)
 
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-2)
@@ -108,83 +278,264 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    # compile + warmup
-    params, opt_state, loss = train_step(params, opt_state, batches[0])
-    jax.block_until_ready(loss)
-    for b in batches:
-        params, opt_state, loss = train_step(params, opt_state, b)
-    jax.block_until_ready(loss)
+    state = [params, opt_state]
 
-    # wall-clock over many steps: on the axon-tunneled TPU,
-    # block_until_ready alone does not reliably wait, so run enough steps
-    # that dispatch-queue backpressure dominates (platform note, CLAUDE.md)
-    n_steps = 200
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, opt_state, loss = train_step(
-            params, opt_state, batches[i % len(batches)]
+    def step(i):
+        state[0], state[1], loss = train_step(
+            state[0], state[1], batches[i % len(batches)]
         )
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+        return loss
 
-    # cross-check: profiler-trace device time for a shorter window; the two
-    # methods must agree or the wall-clock number is untrustworthy
-    dev_step = None
-    try:
-        import glob
-        import gzip
-        import tempfile
-
-        with tempfile.TemporaryDirectory() as td:
-            n_prof = 30
-            with jax.profiler.trace(td):
-                for i in range(n_prof):
-                    params, opt_state, loss = train_step(
-                        params, opt_state, batches[i % len(batches)]
-                    )
-                jax.block_until_ready(loss)
-            time.sleep(0.5)
-            traces = sorted(
-                glob.glob(td + "/**/*.trace.json.gz", recursive=True)
-            )
-            if traces:
-                ev = json.load(gzip.open(traces[-1])).get("traceEvents", [])
-                tot = 0.0
-                for e in ev:
-                    a = e.get("args", {})
-                    if e.get("ph") == "X" and "hlo_category" in a:
-                        tot += int(a.get("device_duration_ps", "0")) / 1e12
-                if tot > 0:
-                    dev_step = tot / n_prof
-    except Exception as e:  # profiling is best-effort
-        sys.stderr.write(f"bench trace cross-check unavailable: {e}\n")
-    wall_step = dt / n_steps
-    if dev_step is not None:
-        skew = abs(dev_step - wall_step) / wall_step
-        sys.stderr.write(
-            f"bench methodology: wall {wall_step*1e3:.2f} ms/step, "
-            f"device {dev_step*1e3:.2f} ms/step, skew {skew:.1%}\n"
-        )
-        if skew > 0.15:
-            sys.stderr.write(
-                "WARNING: wall-clock and trace-aggregated step times "
-                "disagree by >15%; reporting the slower (conservative)\n"
-            )
-            wall_step = max(wall_step, dev_step)
-
-    graphs_per_sec = batch_size / wall_step
+    wall = measure_steps(step, n_steps=200, trace_check=True)
+    gps = batch_size / wall
     print(
         json.dumps(
             {
                 "metric": "qm9_config_energy_train_throughput",
-                "value": round(graphs_per_sec, 2),
+                "value": round(gps, 2),
                 "unit": "graphs/sec/chip",
-                "vs_baseline": round(
-                    graphs_per_sec / A100_REFERENCE_GRAPHS_PER_SEC, 3
-                ),
+                "vs_baseline": round(gps / A100_REFERENCE_GRAPHS_PER_SEC, 3),
             }
         )
     )
+    return gps
+
+
+def bench_energy_force():
+    """Force training: double-differentiates through the net
+    (GradientOutput); convs run grad_order=2 (Pallas fwd + first vjp,
+    XLA second order)."""
+    import jax
+    import optax
+
+    from equivariant_nn_zoo_tpu.models import get_config
+    from equivariant_nn_zoo_tpu.run.loss import Loss
+    from equivariant_nn_zoo_tpu.utils import build
+
+    rng = np.random.default_rng(0)
+    batch_size = 64
+    cfg = get_config("config_energy_force")
+    model = build(cfg.model_config)
+    loss_obj = Loss(dict(cfg.loss_coeffs))
+    mols = synthetic_fragments(batch_size * 4, rng,
+                               r_max=cfg.model_config.r_max)
+    batches, _, _ = make_batches(mols, batch_size)
+
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            out = model.apply(p, batch)
+            loss, _ = loss_obj(out.data, batch.data)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    state = [params, opt_state]
+
+    def step(i):
+        state[0], state[1], loss = train_step(
+            state[0], state[1], batches[i % len(batches)]
+        )
+        return loss
+
+    wall = measure_steps(step, n_steps=150)
+    emit("energy_force_train_throughput", batch_size / wall,
+         {"ms_per_step": round(wall * 1e3, 2)})
+
+
+def bench_diffusion():
+    import jax
+    import optax
+
+    from equivariant_nn_zoo_tpu.models import get_config
+    from equivariant_nn_zoo_tpu.models.sde_config import (
+        get_config as sde_get_config,
+    )
+    from equivariant_nn_zoo_tpu.run import sde_utils
+    from equivariant_nn_zoo_tpu.utils import build
+
+    rng = np.random.default_rng(0)
+    batch_size = 128
+    cfg = get_config("config_diffusion")
+    sde_cfg = sde_get_config()
+    model = build(cfg.model_config)
+    mols = synthetic_diffusion_mols(batch_size * 4, rng)
+    batches, _, _ = make_batches(mols, batch_size)
+
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(cfg.learning_rate)
+    state = sde_utils.init_sde_state(params, optimizer, jax.random.PRNGKey(1))
+    sde = sde_utils.VPSDE(
+        diffusion_keys=dict(cfg.diffusion_keys),
+        beta_min=sde_cfg.model.beta_min, beta_max=sde_cfg.model.beta_max,
+        N=sde_cfg.model.num_scales,
+    )
+    step_fn = sde_utils.get_step_fn(
+        sde, True, model=model, optimizer=optimizer,
+        reduce_mean=sde_cfg.training.reduce_mean, continuous=True,
+        grad_clid_norm=cfg.get("grad_clid_norm"),
+        ema_decay=sde_cfg.model.ema_rate,
+    )
+    box = [jax.device_put(state)]
+
+    def step(i):
+        box[0], loss, _ = step_fn(box[0], batches[i % len(batches)])
+        return loss
+
+    wall = measure_steps(step, n_steps=200)
+    emit("diffusion_train_throughput", batch_size / wall,
+         {"ms_per_step": round(wall * 1e3, 2)})
+
+
+def bench_hamiltonian():
+    import jax
+    import optax
+
+    from equivariant_nn_zoo_tpu.models import get_config
+    from equivariant_nn_zoo_tpu.run.loss import Loss
+    from equivariant_nn_zoo_tpu.utils import build
+
+    rng = np.random.default_rng(0)
+    cfg = get_config("config_hamiltonian")
+    batch_size = int(cfg.batch_size)
+    model = build(cfg.model_config)
+    loss_obj = Loss(dict(cfg.loss_coeffs))
+    mols = synthetic_h2o(batch_size * 4, rng)
+    batches, _, _ = make_batches(mols, batch_size)
+
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            out = model.apply(p, batch)
+            loss, _ = loss_obj(out.data, batch.data)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    state = [params, opt_state]
+
+    def step(i):
+        state[0], state[1], loss = train_step(
+            state[0], state[1], batches[i % len(batches)]
+        )
+        return loss
+
+    wall = measure_steps(step, n_steps=300)
+    emit("hamiltonian_train_throughput", batch_size / wall,
+         {"ms_per_step": round(wall * 1e3, 2)})
+
+
+def bench_e2e():
+    """config_energy through the PRODUCTION path: synthetic QM9-format HDF5
+    -> CondensedDataset -> DataLoader (quantile capacities, deferral, cache,
+    thread workers) -> Trainer.batch_step.  The number the user gets."""
+    import os
+    import h5py
+    import jax
+
+    from equivariant_nn_zoo_tpu.data.compute_edge import computeEdgeIndex
+    from equivariant_nn_zoo_tpu.data.dataset import CondensedDataset
+    from equivariant_nn_zoo_tpu.models import get_config
+    from equivariant_nn_zoo_tpu.run import Trainer
+    from equivariant_nn_zoo_tpu.utils import build
+
+    rng = np.random.default_rng(0)
+    path = "/tmp/bench_e2e_qm9.hdf5"
+    if not os.path.exists(path):
+        E_SP = {1: -16.4, 6: -1036.0, 7: -1489.0, 8: -2047.0}
+        Rs, Zs, Us, nn = [], [], [], []
+        for _ in range(8192):
+            n = int(rng.integers(8, 24))
+            pos = rng.normal(size=(n, 3)) * 1.4
+            z = rng.choice([1, 6, 7, 8], size=(n, 1), p=[0.5, 0.3, 0.1, 0.1])
+            dm = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+            pair = np.exp(-dm[np.triu_indices(n, 1)]).sum()
+            Rs.append(pos)
+            Zs.append(z)
+            Us.append([sum(E_SP[int(s)] for s in z[:, 0]) + 3.0 * pair])
+            nn.append([n])
+        with h5py.File(path, "w") as f:
+            f["R"] = np.concatenate(Rs).astype(np.float32)
+            f["Z"] = np.concatenate(Zs).astype(np.int64)
+            f["U0"] = np.asarray(Us, np.float32)
+            f["_n_nodes"] = np.asarray(nn, np.int64)
+            f.attrs["R"] = ("node", "1x1o")
+            f.attrs["Z"] = ("node", "1x0e")
+            f.attrs["U0"] = ("graph", "1x0e")
+            f.attrs["_n_nodes"] = ("graph", "1x0e")
+
+    cfg = get_config("config_energy")
+    model = build(cfg.model_config)
+    ds = CondensedDataset(
+        path=path,
+        key_map={"Z": ("species", "atom_types"), "R": "pos",
+                 "U0": "total_energy"},
+        preprocess=[partial(computeEdgeIndex, r_max=4.0)],
+        type_names=cfg.data_config.type_names,
+        cache_preprocessed=True,
+    )
+    tr = Trainer(
+        model=model, workdir="/tmp/bench_e2e_wd", seed=0,
+        data_config={"n_train": 7680, "n_val": 512, "shuffle": True,
+                     "num_workers": 4, "cache_preprocessed": True},
+        loss_coeffs={"total_energy": [1.0, "MSELoss"]},
+        metrics_components={"total_energy": ["mae"]},
+        metric_key="validation_loss", learning_rate=1e-2,
+        optimizer_name="Adam", lr_scheduler_name="none",
+        use_ema=True, max_epochs=4, batch_size=128, log_period=10000,
+        save_period=0,
+    )
+    tr.set_dataset(ds)
+    tr.init_metrics()
+    best = 0.0
+    for epoch in range(3):
+        n = 0
+        t0 = time.perf_counter()
+        for batch in iter(tr.dl_train):
+            tr.batch_step(batch)
+            n += 1
+        jax.block_until_ready(tr.params)
+        dt = time.perf_counter() - t0
+        if epoch > 0:  # epoch 0 pays compile + preprocess-cache fill
+            best = max(best, n * 128 / dt)
+    emit("qm9_config_energy_e2e_trainer_throughput", best,
+         {"dropped_graphs": int(tr.dl_train.dropped_graphs)})
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "energy"
+    if mode == "energy":
+        bench_energy()
+    elif mode == "energy_force":
+        bench_energy_force()
+    elif mode == "diffusion":
+        bench_diffusion()
+    elif mode == "hamiltonian":
+        bench_hamiltonian()
+    elif mode == "e2e":
+        bench_e2e()
+    elif mode == "all":
+        bench_energy()
+        bench_energy_force()
+        bench_diffusion()
+        bench_hamiltonian()
+        bench_e2e()
+    else:
+        raise SystemExit(f"unknown bench mode {mode!r}")
 
 
 if __name__ == "__main__":

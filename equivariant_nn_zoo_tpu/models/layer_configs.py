@@ -183,8 +183,10 @@ def addForceOutput(config, gradients="forces", y="energy", sign=-1.0):
     Reference: layer_configs.py:150-166.
 
     GradientOutput differentiates through the net in the forward pass, so
-    training needs second-order autodiff — the Pallas conv kernel's custom
-    VJP only provides first order; pin those layers to the XLA fused path.
+    training needs second-order autodiff.  The conv layers are built with
+    grad_order=2: Pallas kernels stay on the forward and the first-order
+    force vjp (compute_dsh=True), and only the second differentiation runs
+    through the XLA fused path (FactorizedConvolution._second_order_conv).
     """
     config = config.to_dict()
     layers = config.pop("layers")
@@ -192,7 +194,7 @@ def addForceOutput(config, gradients="forces", y="energy", sign=-1.0):
         if isinstance(layer, dict) and isinstance(
             layer.get("convolution"), dict
         ):
-            layer["convolution"]["pallas"] = False
+            layer["convolution"]["grad_order"] = 2
     module = config.pop("module")
     config = ConfigDict(config)
     config.func = {"module": module, "layers": layers}

@@ -50,8 +50,16 @@ class FactorizedConvolution(Module):
         pallas: bool = None,
         sc_species_types: int = None,
         compute_dtype=None,
+        grad_order: int = 1,
     ):
         super().__init__()
+        # grad_order >= 2: the layer sits under a GradientOutput (force /
+        # score head) whose TRAINING loss double-differentiates through the
+        # conv.  The Pallas kernels stay on the hot paths (forward + the
+        # first-order force vjp, built with compute_dsh=True so position
+        # gradients flow); only the second differentiation falls back to
+        # the XLA fused path via the nested custom_vjp in apply().
+        self.grad_order = int(grad_order)
         self.init_irreps(
             input_features=input_features,
             output_features=output_features,
@@ -145,15 +153,16 @@ class FactorizedConvolution(Module):
                             # INVARIANT: the kernel's VJP writes ZEROS for the
                             # spherical-harmonics cotangent (compute_dsh=False
                             # default) — correct only for models that never
-                            # differentiate through positions.  Config
-                            # builders that add position grads (forces,
-                            # score/diffusion heads) must either pin
-                            # pallas=False (layer_configs.addForceOutput) or
-                            # construct with compute_dsh=True.
+                            # differentiate through positions.  Models that DO
+                            # (force heads, layer_configs.addForceOutput) are
+                            # built with grad_order>=2, which turns on
+                            # compute_dsh and the second-order wrapper below.
                             self.full_conv = PallasFullConv(
-                                self.tp, self.fc, compute_dtype=cd
+                                self.tp, self.fc, compute_dtype=cd,
+                                compute_dsh=(self.grad_order >= 2),
                             )
-                            if self.use_sc and sc_species_types:
+                            if (self.use_sc and sc_species_types
+                                    and self.grad_order < 2):
                                 # node_attrs is a pure species embedding
                                 # (featureModel guarantee): per-type tables
                                 # instead of per-node conditioning matrices
@@ -181,6 +190,76 @@ class FactorizedConvolution(Module):
                         self.fused_sc = None
             except AssertionError:
                 self.fused_conv = None
+
+    def _second_order_conv(self, fc_p, lin_p, x, er, sh, tile_args,
+                           edge_src, edge_dst, num_nodes, pre):
+        """Double-grad-capable convolution: Pallas on the hot paths, XLA on
+        the second differentiation.
+
+        Force training (GradientOutput wrapping the net, reference
+        e3_layers/nn/output.py:39-43 with create_graph=True) computes
+        F = -dE/dpos in the forward pass and then differentiates the loss —
+        i.e. it needs d(vjp)/d(inputs), which a custom_vjp cannot provide.
+        Structure here:
+
+        - ``co`` (the conv): primal = Pallas forward.
+        - ``co``'s vjp = ``grad1``: primal = the Pallas backward kernel
+          (with compute_dsh=True so the sh->pos chain is populated).  This
+          is what runs when the model computes forces — still Pallas.
+        - ``grad1``'s vjp: the true second-order cotangents, computed by
+          differentiating the XLA fused implementation twice.  The XLA and
+          Pallas paths compute the same function (tests/test_pallas.py), so
+          mixing their derivatives is exact up to float tolerance.
+
+        Any-order autodiff beyond 2 stays in XLA land automatically.
+        """
+        import jax
+
+        full_conv, fused_conv, fc = self.full_conv, self.fused_conv, self.fc
+
+        def pallas_impl(a):
+            fc_a, lin_a, x_a, er_a, sh_a = a
+            return full_conv(fc_a, lin_a, x_a, er_a, sh_a, *tile_args,
+                             num_nodes, pre_scale=pre)
+
+        def xla_impl(a):
+            fc_a, lin_a, x_a, er_a, sh_a = a
+            weight = fc.apply(fc_a, er_a)
+            return fused_conv(lin_a, x_a, edge_src, edge_dst, sh_a, weight,
+                              num_nodes, pre_scale=pre)
+
+        @jax.custom_vjp
+        def grad1(a, g):
+            _, vjp = jax.vjp(pallas_impl, a)
+            return vjp(g)[0]
+
+        def grad1_fwd(a, g):
+            return grad1(a, g), (a, g)
+
+        def grad1_bwd(res, cots):
+            a, g = res
+
+            def first(a, g):
+                _, vjp = jax.vjp(xla_impl, a)
+                return vjp(g)[0]
+
+            _, vjp2 = jax.vjp(first, a, g)
+            return vjp2(cots)
+
+        grad1.defvjp(grad1_fwd, grad1_bwd)
+
+        @jax.custom_vjp
+        def co(a):
+            return pallas_impl(a)
+
+        def co_fwd(a):
+            return pallas_impl(a), a
+
+        def co_bwd(a, g):
+            return (grad1(a, g),)
+
+        co.defvjp(co_fwd, co_bwd)
+        return co((fc_p, lin_p, x, er, sh))
 
     def apply(self, params, data: Dict, attrs: Dict):
         edge_radial = data["edge_radial"]
@@ -217,13 +296,23 @@ class FactorizedConvolution(Module):
                 if self.avg_num_neighbors is not None
                 else None
             )
-            out = self.full_conv(
-                params["fc"], tp_params["linear"], x, edge_radial,
-                data["edge_spherical"], data["_edge_tile_win"],
-                data["_edge_tile_first"], data["_edge_tile_last"],
-                data["_edge_src_local"], data["_edge_dst_local"],
-                x.shape[0], pre_scale=pre,
+            tile_args = (
+                data["_edge_tile_win"], data["_edge_tile_first"],
+                data["_edge_tile_last"], data["_edge_src_local"],
+                data["_edge_dst_local"],
             )
+            if self.grad_order >= 2:
+                out = self._second_order_conv(
+                    params["fc"], tp_params["linear"], x, edge_radial,
+                    data["edge_spherical"], tile_args, edge_src, edge_dst,
+                    x.shape[0], pre,
+                )
+            else:
+                out = self.full_conv(
+                    params["fc"], tp_params["linear"], x, edge_radial,
+                    data["edge_spherical"], *tile_args,
+                    x.shape[0], pre_scale=pre,
+                )
             if self.use_sc:
                 out = out + sc
             is_per = attrs["input_features"][0]

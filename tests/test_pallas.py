@@ -249,3 +249,65 @@ def test_species_sc_matches_fused():
     for u, v in zip(ga, gb):
         denom = max(float(jnp.abs(v).max()), 1e-6)
         assert float(jnp.abs(u - v).max()) / denom < 1e-4
+
+
+def test_second_order_conv_double_grad_matches():
+    """grad_order=2 routing (force training): the nested custom_vjp wrapper
+    must give the same DOUBLE gradients as the pure-XLA fused path — the
+    inner grad (forces, wrt sh/er standing in for positions) runs the
+    Pallas backward kernel, the outer training grad differentiates it via
+    the XLA implementation (FactorizedConvolution._second_order_conv)."""
+    conv, params, full, fused, fc, gb, x, sh, er, N = setup_full(seed=5)
+    conv.grad_order = 2
+    conv.full_conv = full        # interpret-mode kernels (compute_dsh=True)
+    conv.fused_conv = fused
+    lp, fcp = params["tp"]["linear"], params["fc"]
+    tile_args = (
+        jnp.asarray(gb["_edge_tile_win"]),
+        jnp.asarray(gb["_edge_tile_first"]),
+        jnp.asarray(gb["_edge_tile_last"]),
+        jnp.asarray(gb["_edge_src_local"]),
+        jnp.asarray(gb["_edge_dst_local"]),
+    )
+    src = jnp.asarray(gb["edge_index"][0])
+    dst = jnp.asarray(gb["edge_index"][1])
+
+    def e_so(fcp_, lp_, x_, er_, sh_):
+        out = conv._second_order_conv(fcp_, lp_, x_, er_, sh_, tile_args,
+                                      src, dst, N, 0.5)
+        return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
+                                     ).reshape(out.shape))
+
+    def e_ref(fcp_, lp_, x_, er_, sh_):
+        out = _ref_out(fused, fc, fcp_, lp_, x_, sh_, er_, gb, N)
+        return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
+                                     ).reshape(out.shape))
+
+    def force_loss(e_fn):
+        # inner grad = the "forces" (wrt sh and er, the position channels);
+        # outer loss is a weighted sum over them, differentiated wrt params
+        def f(fcp_, lp_, x_, er_, sh_):
+            g_er, g_sh = jax.grad(e_fn, argnums=(3, 4))(
+                fcp_, lp_, x_, er_, sh_
+            )
+            wa = jnp.cos(0.07 * jnp.arange(g_er.size)).reshape(g_er.shape)
+            wb = jnp.cos(0.03 * jnp.arange(g_sh.size)).reshape(g_sh.shape)
+            return jnp.sum(g_er * wa) + jnp.sum(g_sh * wb)
+        return f
+
+    # inner force values must match (pallas first-order vjp vs XLA)
+    fa = jax.grad(e_so, argnums=(3, 4))(fcp, lp, x, er, sh)
+    fb = jax.grad(e_ref, argnums=(3, 4))(fcp, lp, x, er, sh)
+    for a, b in zip(jax.tree_util.tree_leaves(fa),
+                    jax.tree_util.tree_leaves(fb)):
+        denom = max(float(jnp.abs(b).max()), 1e-6)
+        assert float(jnp.abs(a - b).max()) / denom < 2e-4
+
+    ga = jax.grad(force_loss(e_so), argnums=(0, 1, 2, 3))(fcp, lp, x, er, sh)
+    gref = jax.grad(force_loss(e_ref), argnums=(0, 1, 2, 3))(
+        fcp, lp, x, er, sh
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gref)):
+        denom = max(float(jnp.abs(b).max()), 1e-6)
+        assert float(jnp.abs(a - b).max()) / denom < 5e-4
