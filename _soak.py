@@ -71,7 +71,7 @@ def main():
     for epoch in range(3):
         n = 0
         t0 = time.perf_counter()
-        for batch in iter(tr.dl_train):
+        for batch in tr._device_prefetch(iter(tr.dl_train)):
             tr.batch_step(batch)
             n += 1
         jax.block_until_ready(tr.params)

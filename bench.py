@@ -107,6 +107,9 @@ def synthetic_diffusion_mols(n_mol, rng, num_types=18):
         }
         out, attrs = computeEdgeIndex(d, attrs, r_max=9999.0)
         d.update(out)
+        ne = int(np.asarray(d["edge_index"]).shape[-1])
+        d["bond_type"] = rng.integers(0, 4, size=(ne, 1))
+        attrs["bond_type"] = ("edge", "1x0e")
         mols.append(Data(attrs, **d))
     return mols
 
@@ -505,7 +508,9 @@ def bench_e2e():
     for epoch in range(3):
         n = 0
         t0 = time.perf_counter()
-        for batch in iter(tr.dl_train):
+        # same path as Trainer.epoch_step: async device placement one
+        # batch ahead so the tunnel's per-leaf H2D latency overlaps compute
+        for batch in tr._device_prefetch(iter(tr.dl_train)):
             tr.batch_step(batch)
             n += 1
         jax.block_until_ready(tr.params)

@@ -635,12 +635,57 @@ class Trainer:
         self.loss_stat.reset()
         self.metrics.reset()
 
+    def _device_prefetch(self, it, lookahead: int = 2):
+        """Producer-thread batch pipeline: collate/pack + async host->device
+        transfer run one step ahead of consumption.
+
+        On the tunneled TPU a GraphBatch device_put costs ~8 ms of per-leaf
+        RPC latency and the loader's pack ~5 ms; serialized with the step
+        they cost ~30% throughput (measured 4228 step-only vs 3032
+        trainer-path).  A daemon thread drains the loader and issues the
+        (asynchronous) device_put so both overlap the previous step's
+        device time; the bounded queue applies backpressure."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=lookahead)
+        sentinel = object()
+        failure = []
+
+        def producer():
+            try:
+                for item in it:
+                    q.put(jax.device_put(item))
+            except BaseException as e:  # surfaced on the consumer side
+                failure.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True,
+                             name="e3-batch-prefetch")
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if failure:
+                    raise failure[0]
+                return
+            yield item
+
     def epoch_step(self):
         """Reference parity: trainer.py:426-503 (subdivision, profiling,
         per-category loops, LR plateau step, dataset reload)."""
         datasets = [self.dl_train, self.dl_val]
         categories = ["training", "validation"]
-        iterables = [iter(self.dl_train), iter(self.dl_val)]
+        if self.mesh is None:
+            # single-chip: move batches to the device one step ahead (the
+            # mesh path does its own sharded placement in batch_step)
+            iterables = [
+                self._device_prefetch(iter(self.dl_train)),
+                self._device_prefetch(iter(self.dl_val)),
+            ]
+        else:
+            iterables = [iter(self.dl_train), iter(self.dl_val)]
 
         for idivision in range(self.epoch_subdivision):
             self.metrics_dict = {}
