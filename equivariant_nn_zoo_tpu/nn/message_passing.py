@@ -271,15 +271,24 @@ class FactorizedConvolution(Module):
         edge_src = data["edge_index"][0]
         edge_dst = data["edge_index"][1]
 
+        sc_raw = None
         if self.use_sc:
             if (
                 self.species_sc is not None
                 and "species" in data
                 and x.shape[0] % self.species_sc.tile == 0
             ):
-                sc = self.species_sc.apply(
-                    params["sc"], x, data["node_attrs"], data["species"]
-                )
+                if self.full_conv is not None and "_edge_tile_last" in data:
+                    # component-major blocks folded into the conv's output
+                    # formatting (one node-sized transpose for the sum)
+                    sc_raw = self.species_sc.apply_raw(
+                        params["sc"], x, data["node_attrs"], data["species"]
+                    )
+                    sc = None
+                else:
+                    sc = self.species_sc.apply(
+                        params["sc"], x, data["node_attrs"], data["species"]
+                    )
             elif self.fused_sc is not None:
                 sc = self.fused_sc.apply(params["sc"], x, data["node_attrs"])
             else:
@@ -311,9 +320,9 @@ class FactorizedConvolution(Module):
                 out = self.full_conv(
                     params["fc"], tp_params["linear"], x, edge_radial,
                     data["edge_spherical"], *tile_args,
-                    x.shape[0], pre_scale=pre,
+                    x.shape[0], pre_scale=pre, extra_io=sc_raw,
                 )
-            if self.use_sc:
+            if self.use_sc and sc_raw is None:
                 out = out + sc
             is_per = attrs["input_features"][0]
             return (

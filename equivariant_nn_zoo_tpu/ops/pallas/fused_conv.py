@@ -841,11 +841,15 @@ class PallasFullConv(PallasUVUConv):
             # scatter the UNMIXED weighted TP into the window accumulator:
             # one MXU-shaped matmul (M = K2*mul) instead of 32 mix-width
             # ones — the mix runs once per window at the run's last tile.
+            # f32 per-run accumulation: every tile's contribution sums in
+            # full precision; a single rounding to compute dtype happens at
+            # the flush (the bf16-accumulate drift concern of multi-tile
+            # runs is gone)
             contrib = jax.lax.dot_general(
                 w2d, one_d,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(cd)                                  # [K2*mul, W]
+            )                                             # [K2*mul, W] f32
 
             @pl.when(t == 0)
             def _():
@@ -985,7 +989,7 @@ class PallasFullConv(PallasUVUConv):
                 w2d, one_d,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(cd)                                   # [K2*mul, W]
+            )                                              # [K2*mul, W] f32
             accw_ref[...] = accw_ref[...] + contrib
 
             # per-edge cotangent of the weighted TP, via the window gather
@@ -1154,7 +1158,7 @@ class PallasFullConv(PallasUVUConv):
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
                 ],
                 out_specs=pl.BlockSpec((N, out_rows), lambda t, *_: (0, 0)),
-                scratch_shapes=[pltpu.VMEM((K2 * mul, W), cd)],
+                scratch_shapes=[pltpu.VMEM((K2 * mul, W), jnp.float32)],
             )
             return pl.pallas_call(
                 fwd_kernel,
@@ -1203,7 +1207,7 @@ class PallasFullConv(PallasUVUConv):
                 ],
                 scratch_shapes=[
                     pltpu.VMEM((K2 * mul, W), cd),             # dwin
-                    pltpu.VMEM((K2 * mul, W), cd),             # accw (remat)
+                    pltpu.VMEM((K2 * mul, W), jnp.float32),    # accw (remat)
                 ],
             )
             out_shapes = [
@@ -1251,9 +1255,15 @@ class PallasFullConv(PallasUVUConv):
     # ------------------------------------------------------------ interface
     def __call__(self, fc_params, linear_params, x, edge_radial, sh,
                  win0, tile_first, tile_last, src_local, dst_local,
-                 num_nodes: int, pre_scale=None, out_dtype=jnp.float32):
+                 num_nodes: int, pre_scale=None, out_dtype=jnp.float32,
+                 extra_io=None):
         """Full conv on a tile-aligned batch; returns node features
-        [num_nodes, out_dim] (the segment-sum is internal)."""
+        [num_nodes, out_dim] (the segment-sum is internal).
+
+        ``extra_io``: optional {io: [N, d_io, mul_out]} component-major
+        blocks (e.g. the species self-connection, sc.py apply_raw) folded
+        in BEFORE the output transpose, so the node-sized (m, d) relayout
+        is paid once for the sum instead of once per term."""
         cd = self.compute_dtype
         E = sh.shape[0]
         T = self.tile
@@ -1295,6 +1305,7 @@ class PallasFullConv(PallasUVUConv):
         # jnp.take gather here costs ~20x the bandwidth floor on TPU.
         # Formatting stays in compute dtype; the cast to out_dtype happens
         # on the final per-io blocks.
+        extra_io = extra_io or {}
         per_io = {}
         for g, mx in enumerate(self._mix):
             Wg, d = mx["Wg"], mx["d"]
@@ -1304,10 +1315,18 @@ class PallasFullConv(PallasUVUConv):
                 blk = cols.reshape(num_nodes, d, Wg)[
                     :, :, w_ofs: w_ofs + mo_mul
                 ]                                     # [N, d, mul_out]
+                if io in extra_io:
+                    blk = blk + extra_io[io].astype(blk.dtype)
                 per_io[io] = jnp.transpose(blk, (0, 2, 1)).reshape(
                     num_nodes, mo_mul * d
                 )
                 w_ofs += mo_mul
+        for io, sc_blk in extra_io.items():
+            if io not in per_io:  # sc-only outputs still need formatting
+                d = sc_blk.shape[1]
+                per_io[io] = jnp.transpose(sc_blk, (0, 2, 1)).reshape(
+                    num_nodes, -1
+                )
         outs = []
         for io, mo in enumerate(self.linear.irreps_out):
             if io in per_io:

@@ -278,7 +278,11 @@ class SpeciesScalarFCTP:
         return f
 
     # ------------------------------------------------------------ interface
-    def apply(self, params, x, attrs, species):
+    def apply_raw(self, params, x, attrs, species):
+        """Per-io component-major blocks {io: [N, d, mul_out]} BEFORE the
+        final (m, d) transpose — lets the conv's output formatting fold the
+        self-connection in and pay the node-sized transpose only once
+        (see FactorizedConvolution.apply)."""
         N = x.shape[0]
         assert N % self.tile == 0, (N, self.tile)
         xs = self._prep_x(x)
@@ -291,18 +295,25 @@ class SpeciesScalarFCTP:
             for it in self.items
         ]
         outs = self._make_fn(N, specs)(xs, tables)  # per slot [(N*d), w]
-        out_chunks = {}
+        raw = {}
         for it, o in zip(self.items, outs):
             _, _, mul_out = it["shape"]
-            d = it["d"]
-            blk = o.reshape(N, d, mul_out)
-            o2 = jnp.transpose(blk, (0, 2, 1)).reshape(N, mul_out * d)
             io = it["ins"].i_out
-            out_chunks[io] = out_chunks.get(io, 0) + o2.astype(jnp.float32)
+            blk = o.reshape(N, it["d"], mul_out)
+            raw[io] = raw.get(io, 0) + blk
+        return raw
+
+    def apply(self, params, x, attrs, species):
+        N = x.shape[0]
+        raw = self.apply_raw(params, x, attrs, species)
         res = []
         for io, mo in enumerate(self.tp.irreps_out):
-            if io in out_chunks:
-                res.append(out_chunks[io])
+            if io in raw:
+                blk = raw[io]
+                res.append(
+                    jnp.transpose(blk, (0, 2, 1)).reshape(N, mo.dim)
+                    .astype(jnp.float32)
+                )
             else:
                 res.append(jnp.zeros((N, mo.dim), jnp.float32))
         return jnp.concatenate(res, axis=-1)

@@ -311,3 +311,36 @@ def test_second_order_conv_double_grad_matches():
                     jax.tree_util.tree_leaves(gref)):
         denom = max(float(jnp.abs(b).max()), 1e-6)
         assert float(jnp.abs(a - b).max()) / denom < 5e-4
+
+
+def test_full_conv_extra_io_matches_separate_add():
+    """Folding the species self-connection into the conv's output
+    formatting (extra_io, one shared transpose) must equal computing the
+    two separately and adding."""
+    from equivariant_nn_zoo_tpu.ops.pallas.sc import SpeciesScalarFCTP
+
+    conv, params, full, fused, fc, gb, x, sh, er, N = setup_full(seed=7)
+    types = 5
+    rng = np.random.default_rng(9)
+    spk = SpeciesScalarFCTP(conv.sc, types, compute_dtype=jnp.float32,
+                            tile=32)
+    table = jnp.asarray(rng.normal(size=(types, 4)), jnp.float32)
+    species = jnp.asarray(rng.integers(0, types, size=(N, 1)), jnp.int32)
+    attrs = table[species[:, 0]]
+    lp, fcp = params["tp"]["linear"], params["fc"]
+    targs = (jnp.asarray(gb["_edge_tile_win"]),
+             jnp.asarray(gb["_edge_tile_first"]),
+             jnp.asarray(gb["_edge_tile_last"]),
+             jnp.asarray(gb["_edge_src_local"]),
+             jnp.asarray(gb["_edge_dst_local"]))
+
+    raw = spk.apply_raw(params["sc"], x, attrs, species)
+    merged = full(fcp, lp, x, er, sh, *targs, N, pre_scale=0.5,
+                  extra_io=raw)
+    separate = (
+        full(fcp, lp, x, er, sh, *targs, N, pre_scale=0.5)
+        + spk.apply(params["sc"], x, attrs, species)
+    )
+    rel = float(jnp.abs(merged - separate).max()
+                / max(float(jnp.abs(separate).max()), 1e-6))
+    assert rel < 1e-5, rel
