@@ -114,6 +114,32 @@ def synthetic_diffusion_mols(n_mol, rng, num_types=18):
     return mols
 
 
+def synthetic_dipole_mols(n_mol, rng, r_max=5.0, num_types=18):
+    from equivariant_nn_zoo_tpu.data import Batch, Data, computeEdgeIndex
+
+    mols = []
+    for _ in range(n_mol):
+        n = int(rng.integers(8, 24))
+        d = {
+            "pos": rng.normal(size=(n, 3)) * 1.4,
+            "species": rng.integers(0, num_types, size=(n, 1)),
+            # atomic multipoles: per-NODE l=1 targets (JCTC dataset,
+            # reference config_dipole head is a PointwiseLinear, no pooling)
+            "dipole": rng.normal(size=(n, 3)).astype(np.float32),
+        }
+        d["atom_types"] = d["species"]
+        attrs = {
+            "pos": ("node", "1x1o"),
+            "species": ("node", "1x0e"),
+            "atom_types": ("node", "1x0e"),
+            "dipole": ("node", "1x1o"),
+        }
+        out, attrs = computeEdgeIndex(d, attrs, r_max=r_max)
+        d.update(out)
+        mols.append(Data(attrs, **d))
+    return mols
+
+
 def synthetic_h2o(n_mol, rng):
     from equivariant_nn_zoo_tpu.data import Batch, Data, computeEdgeIndex
 
@@ -397,7 +423,53 @@ def bench_diffusion():
          {"ms_per_step": round(wall * 1e3, 2)})
 
 
-def bench_hamiltonian():
+def bench_dipole():
+    import jax
+    import optax
+
+    from equivariant_nn_zoo_tpu.models import get_config
+    from equivariant_nn_zoo_tpu.run.loss import Loss
+    from equivariant_nn_zoo_tpu.utils import build
+
+    rng = np.random.default_rng(0)
+    cfg = get_config("config_dipole")
+    batch_size = int(cfg.batch_size)
+    model = build(cfg.model_config)
+    loss_obj = Loss(dict(cfg.loss_coeffs))
+    mols = synthetic_dipole_mols(batch_size * 4, rng,
+                                 r_max=cfg.model_config.r_max)
+    batches, _, _ = make_batches(mols, batch_size)
+
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            out = model.apply(p, batch)
+            loss, _ = loss_obj(out.data, batch.data)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    state = [params, opt_state]
+
+    def step(i):
+        state[0], state[1], loss = train_step(
+            state[0], state[1], batches[i % len(batches)]
+        )
+        return loss
+
+    wall = measure_steps(step, n_steps=200)
+    emit("dipole_train_throughput", batch_size / wall,
+         {"ms_per_step": round(wall * 1e3, 2)})
+
+
+def bench_hamiltonian(batch_size=None):
     import jax
     import optax
 
@@ -407,7 +479,7 @@ def bench_hamiltonian():
 
     rng = np.random.default_rng(0)
     cfg = get_config("config_hamiltonian")
-    batch_size = int(cfg.batch_size)
+    batch_size = int(batch_size or cfg.batch_size)
     model = build(cfg.model_config)
     loss_obj = Loss(dict(cfg.loss_coeffs))
     mols = synthetic_h2o(batch_size * 4, rng)
@@ -439,7 +511,7 @@ def bench_hamiltonian():
 
     wall = measure_steps(step, n_steps=300)
     emit("hamiltonian_train_throughput", batch_size / wall,
-         {"ms_per_step": round(wall * 1e3, 2)})
+         {"ms_per_step": round(wall * 1e3, 2), "batch_size": batch_size})
 
 
 def bench_e2e():
@@ -529,14 +601,19 @@ def main():
         bench_energy_force()
     elif mode == "diffusion":
         bench_diffusion()
+    elif mode == "dipole":
+        bench_dipole()
     elif mode == "hamiltonian":
-        bench_hamiltonian()
+        bench_hamiltonian(
+            batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else None
+        )
     elif mode == "e2e":
         bench_e2e()
     elif mode == "all":
         bench_energy()
         bench_energy_force()
         bench_diffusion()
+        bench_dipole()
         bench_hamiltonian()
         bench_e2e()
     else:
