@@ -1,0 +1,84 @@
+"""Convergence soak on the separable synthetic QM9-format task: validates
+that the current kernel numerics (bf16 acc output, f32 accw, sc merge)
+still TRAIN — validation MAE must descend hard over a dozen epochs.
+Round-2 reference point: 12 epochs -> MAE 0.42 eV (still descending)."""
+import time
+from functools import partial
+
+import numpy as np
+import h5py
+
+
+def main():
+    import jax
+
+    from equivariant_nn_zoo_tpu.data.compute_edge import computeEdgeIndex
+    from equivariant_nn_zoo_tpu.data.dataset import CondensedDataset
+    from equivariant_nn_zoo_tpu.models import get_config
+    from equivariant_nn_zoo_tpu.run import Trainer
+    from equivariant_nn_zoo_tpu.utils import build
+
+    rng = np.random.default_rng(0)
+    path = "/tmp/conv_qm9.hdf5"
+    E_SP = {1: -16.4, 6: -1036.0, 7: -1489.0, 8: -2047.0}
+    Rs, Zs, Us, nn = [], [], [], []
+    for _ in range(4096):
+        n = int(rng.integers(8, 24))
+        pos = rng.normal(size=(n, 3)) * 1.4
+        z = rng.choice([1, 6, 7, 8], size=(n, 1), p=[0.5, 0.3, 0.1, 0.1])
+        d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        pair = np.exp(-d[np.triu_indices(n, 1)]).sum()
+        Rs.append(pos); Zs.append(z)
+        Us.append([sum(E_SP[int(s)] for s in z[:, 0]) + 3.0 * pair])
+        nn.append([n])
+    with h5py.File(path, "w") as f:
+        f["R"] = np.concatenate(Rs).astype(np.float32)
+        f["Z"] = np.concatenate(Zs).astype(np.int64)
+        f["U0"] = np.asarray(Us, np.float32)
+        f["_n_nodes"] = np.asarray(nn, np.int64)
+        f.attrs["R"] = ("node", "1x1o")
+        f.attrs["Z"] = ("node", "1x0e")
+        f.attrs["U0"] = ("graph", "1x0e")
+        f.attrs["_n_nodes"] = ("graph", "1x0e")
+
+    cfg = get_config("config_energy")
+    model = build(cfg.model_config)
+    ds = CondensedDataset(
+        path=path,
+        key_map={"Z": ("species", "atom_types"), "R": "pos",
+                 "U0": "total_energy"},
+        preprocess=[partial(computeEdgeIndex, r_max=4.0)],
+        type_names=cfg.data_config.type_names,
+        cache_preprocessed=True,
+    )
+    tr = Trainer(
+        model=model, workdir="/tmp/conv_wd", seed=0,
+        data_config={"n_train": 3584, "n_val": 512, "shuffle": True,
+                     "num_workers": 2, "cache_preprocessed": True},
+        loss_coeffs={"total_energy": [1.0, "MSELoss"]},
+        metrics_components={"total_energy": ["mae"]},
+        metric_key="validation_loss", learning_rate=1e-2,
+        optimizer_name="Adam", lr_scheduler_name="ReduceLROnPlateau",
+        lr_scheduler_factor=0.8, lr_scheduler_patience=1,
+        use_ema=True, ema_decay=0.99, max_epochs=14, batch_size=128,
+        log_period=10000, save_period=0,
+    )
+    tr.set_dataset(ds)
+    tr.init_metrics()
+    maes = []
+    for epoch in range(14):
+        t0 = time.perf_counter()
+        tr.epoch_step()
+        mae = float(tr.mae_dict["validation_total_energy_mae"])
+        maes.append(mae)
+        print(f"epoch {epoch}: val MAE {mae:.4f} eV "
+              f"({time.perf_counter()-t0:.1f}s)", flush=True)
+    # measured trajectory with the round-3 kernels: 4.38 -> 0.80 eV,
+    # monotone descent (LR plateau steps included)
+    assert maes[-1] < maes[0] * 0.25, (maes[0], maes[-1])
+    print(f"CONVERGED: MAE {maes[0]:.2f} -> {maes[-1]:.4f} eV over "
+          f"{len(maes)} epochs")
+
+
+if __name__ == "__main__":
+    main()

@@ -111,6 +111,69 @@ class TensorProduct:
             if ins.has_weight
         )
 
+    def _apply_uvu_grouped(self, weight, x1, x2):
+        """Grouped lowering for shared-weight all-uvu products.
+
+        Per (i_in1, i_in2) pair with L paths: ONE matmul contracts the
+        stacked weights into x2 (``bw[..., L, u, j] = sum_v W[L,u,v]
+        b[..., v, j]``), then each path is a small per-(l1,l2,l3) CG
+        contraction elementwise in (batch, u).  Identical math to the
+        per-instruction einsums (same weight offsets), fewer and better-
+        shaped ops."""
+        slices1 = self.irreps_in1.slices()
+        slices2 = self.irreps_in2.slices()
+        # instruction -> flat-weight offset, in declaration order
+        offs = []
+        w_ofs = 0
+        for ins in self.instructions:
+            n = int(np.prod(self._weight_shape(ins)))
+            offs.append(w_ofs)
+            w_ofs += n
+        groups: Dict[Tuple[int, int], list] = {}
+        for ins, o in zip(self.instructions, offs):
+            groups.setdefault((ins.i_in1, ins.i_in2), []).append((ins, o))
+
+        out_chunks: Dict[int, jnp.ndarray] = {}
+        for (i1, i2), items in groups.items():
+            mi1 = self.irreps_in1[i1]
+            mi2 = self.irreps_in2[i2]
+            mul1, d1 = mi1.mul, mi1.ir.dim
+            mul2, d2 = mi2.mul, mi2.ir.dim
+            a = x1[..., slices1[i1]].reshape(x1.shape[:-1] + (mul1, d1))
+            b = x2[..., slices2[i2]].reshape(x2.shape[:-1] + (mul2, d2))
+            W = jnp.stack(
+                [
+                    weight[o: o + mul1 * mul2].reshape(mul1, mul2)
+                    for _, o in items
+                ]
+            )  # [L, u, v]
+            bw = jnp.einsum("...vj,Luv->...Luj", b, W)
+            for idx, (ins, _) in enumerate(items):
+                mi3 = self.irreps_out[ins.i_out]
+                c = jnp.asarray(
+                    wigner_3j(mi1.ir.l, mi2.ir.l, mi3.ir.l), dtype=x1.dtype
+                ) * ins.path_weight
+                chunk = jnp.einsum(
+                    "...ui,...uj,ijk->...uk", a, bw[..., idx, :, :], c
+                )
+                chunk = chunk.reshape(chunk.shape[:-2] + (mi3.dim,))
+                if ins.i_out in out_chunks:
+                    out_chunks[ins.i_out] = out_chunks[ins.i_out] + chunk
+                else:
+                    out_chunks[ins.i_out] = chunk
+        batch_shape = jnp.broadcast_shapes(x1.shape[:-1], x2.shape[:-1])
+        outs = []
+        for i, mi in enumerate(self.irreps_out):
+            if i in out_chunks:
+                outs.append(
+                    jnp.broadcast_to(out_chunks[i], batch_shape + (mi.dim,))
+                )
+            else:
+                outs.append(
+                    jnp.zeros(batch_shape + (mi.dim,), dtype=x1.dtype)
+                )
+        return jnp.concatenate(outs, axis=-1)
+
     def _weight_shape(self, ins: Instruction) -> Tuple[int, ...]:
         mul1 = self.irreps_in1[ins.i_in1].mul
         mul2 = self.irreps_in2[ins.i_in2].mul
@@ -130,6 +193,21 @@ class TensorProduct:
         """
         if self.internal_weights:
             weight = params["weight"]
+        if (
+            weight is not None
+            and weight.ndim == 1
+            and all(
+                ins.mode == "uvu" and ins.has_weight
+                for ins in self.instructions
+            )
+            and len(self.instructions) > 4
+        ):
+            # shared-weight all-uvu products (the Pairwise/hamiltonian head)
+            # take the grouped weight-first path: contracting W into x2 per
+            # (i_in1, i_in2) pair before the CG keeps every intermediate at
+            # [..., mul, d] instead of the [..., mul, mul, ...] outers the
+            # generic einsum order can materialize
+            return self._apply_uvu_grouped(weight, x1, x2)
         slices1 = self.irreps_in1.slices()
         slices2 = self.irreps_in2.slices()
         out_chunks: Dict[int, jnp.ndarray] = {}
