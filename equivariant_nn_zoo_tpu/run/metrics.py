@@ -36,13 +36,15 @@ class RunningStats:
         self._sums = []
         self._counts = []
 
-    def accumulate_batch(self, values, weights, accumulate_by=None):
-        """values/weights: [N, ...]; accumulate_by: [N] int bins or None."""
+    def batch_partials(self, values, weights, accumulate_by=None):
+        """Pure per-batch partial sums (jit-safe — no state mutation).
+        Returns (sum, count, display_value)."""
         if self.reduction == "rms":
             values = values * values
         if accumulate_by is None:
             s = jnp.sum(values * weights)
             c = jnp.sum(weights * jnp.ones_like(values))
+            disp = s / jnp.maximum(c, 1.0)
         else:
             nbins = self.bins
             s = jax.ops.segment_sum(
@@ -54,9 +56,20 @@ class RunningStats:
                         axis=tuple(range(1, values.ndim))),
                 accumulate_by, num_segments=nbins,
             )
+            disp = s
+        return s, c, disp
+
+    def ingest(self, partials):
+        """Store one batch's (sum, count, display) partials."""
+        s, c, disp = partials
         self._sums.append(s)
         self._counts.append(c)
-        return s / jnp.maximum(c, 1.0) if accumulate_by is None else s
+        return disp
+
+    def accumulate_batch(self, values, weights, accumulate_by=None):
+        """values/weights: [N, ...]; accumulate_by: [N] int bins or None."""
+        return self.ingest(self.batch_partials(values, weights,
+                                               accumulate_by))
 
     def current_result(self):
         if not self._sums:
@@ -134,8 +147,11 @@ class Metrics:
             )
         return key, reduction, params
 
-    def __call__(self, pred: dict, ref: dict):
-        metrics = {}
+    def batch_stats(self, pred: dict, ref: dict):
+        """Pure per-batch partial sums for every registered metric — safe
+        to call under jit so the whole accumulation costs ONE dispatch per
+        batch (the tunneled backend pays real latency per eager op)."""
+        stats = {}
         for key, func in self.funcs.items():
             if hasattr(func, "raw"):
                 error, weights = func.raw(pred, ref, key)
@@ -156,10 +172,20 @@ class Metrics:
                         error.shape[:-1] + (1,)
                     ).astype(error.dtype)
                     error_n = error / jnp.maximum(N, 1.0)
-                metrics[(key, param_hash)] = stat.accumulate_batch(
+                stats[(key, param_hash)] = stat.batch_partials(
                     error_n, weights, accumulate_by=accumulate_by
                 )
-        return metrics
+        return stats
+
+    def ingest(self, stats):
+        """Store jitted batch_stats output into the running accumulators."""
+        return {
+            kh: self.running_stats[kh[0]][kh[1]].ingest(partials)
+            for kh, partials in stats.items()
+        }
+
+    def __call__(self, pred: dict, ref: dict):
+        return self.ingest(self.batch_stats(pred, ref))
 
     def reset(self):
         for stats in self.running_stats.values():

@@ -234,6 +234,7 @@ class Trainer:
             components=self.metrics_components,
             **pruneArgs(prefix="metrics", **self.kwargs),
         )
+        self._metrics_jit = None  # rebuilt against the new Metrics object
         if not (
             self.metric_key.lower().startswith("validation")
             or self.metric_key.lower().startswith("training")
@@ -408,7 +409,13 @@ class Trainer:
         if self.equivariance_test:
             self.equivarianceTest(out, data)
         self.batch_losses = self.loss_stat(loss, contrib)
-        self.batch_metrics = self.metrics(pred=out, ref=data.data)
+        # metric math under ONE jitted dispatch (each eager op pays real
+        # RPC latency on the tunneled backend); accumulation stays lazy
+        if getattr(self, "_metrics_jit", None) is None:
+            self._metrics_jit = jax.jit(self.metrics.batch_stats)
+        self.batch_metrics = self.metrics.ingest(
+            self._metrics_jit(out, data.data)
+        )
 
     # ------------------------------------------------------ wandb.watch hook
 
