@@ -160,6 +160,9 @@ class FactorizedConvolution(Module):
                             self.full_conv = PallasFullConv(
                                 self.tp, self.fc, compute_dtype=cd,
                                 compute_dsh=(self.grad_order >= 2),
+                                # sh here is always a real SH encoding
+                                # (SphericalEncoding layer): Y00 == 1
+                                sh0_const=True,
                             )
                             if (self.use_sc and sc_species_types
                                     and self.grad_order < 2):

@@ -534,9 +534,17 @@ class PallasFullConv(PallasUVUConv):
     """
 
     def __init__(self, tpe, fc, compute_dtype=jnp.bfloat16, tile: int = None,
-                 window: int = 128, compute_dsh: bool = False):
+                 window: int = 128, compute_dsh: bool = False,
+                 sh0_const: bool = False):
         super().__init__(tpe, compute_dtype=compute_dtype, tile=tile)
         self.window = window
+        # sh[:, 0] == 1 identically when sh is a real spherical-harmonic
+        # encoding (Y00 under component normalization, pad edges included);
+        # the l2=0 srep multiply and the j=0 dx accumulate then collapse to
+        # plain copies/adds.  Callers feeding arbitrary "sh" data (parity
+        # tests) must leave this False.  Only meaningful when the first sh
+        # irrep actually is the scalar.
+        self.sh0_const = bool(sh0_const) and self.irreps_sh[0].ir.l == 0
         # sh = SH(edge_vector) has no parameters, and every pallas-eligible
         # config treats positions as conditioning inputs (force heads build
         # their convolutions with pallas=False and take the XLA path), so
@@ -764,6 +772,9 @@ class PallasFullConv(PallasUVUConv):
         cd = self.compute_dtype
         rows = []
         for j in range(J):
+            if j == 0 and self.sh0_const:
+                rows.append(xb)
+                continue
             srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
             rows.append(srep * xb)
         mids = []
@@ -1093,9 +1104,12 @@ class PallasFullConv(PallasUVUConv):
             dxb = None
             dsh_rows = []
             for j in range(J):
-                srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
                 do_j = douter[j * I: (j + 1) * I, :]
-                c = srep * do_j
+                if j == 0 and self.sh0_const:
+                    c = do_j
+                else:
+                    srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
+                    c = srep * do_j
                 dxb = c if dxb is None else dxb + c
                 if self.compute_dsh:
                     s = jnp.sum(do_j * xb, axis=0)

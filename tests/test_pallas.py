@@ -344,3 +344,45 @@ def test_full_conv_extra_io_matches_separate_add():
     rel = float(jnp.abs(merged - separate).max()
                 / max(float(jnp.abs(separate).max()), 1e-6))
     assert rel < 1e-5, rel
+
+
+def test_full_conv_sh0_const_matches():
+    """sh0_const=True (production: Y00 == 1) must match the generic kernel
+    and the XLA reference when fed sh whose scalar column is 1 — values
+    AND gradients."""
+    from equivariant_nn_zoo_tpu.ops.pallas.fused_conv import PallasFullConv
+
+    conv, params, full, fused, fc, gb, x, sh, er, N = setup_full(seed=11)
+    sh = sh.at[:, 0].set(1.0)
+    full0 = PallasFullConv(conv.tp, conv.fc, compute_dtype=jnp.float32,
+                           tile=32, window=32, compute_dsh=True,
+                           sh0_const=True)
+    assert full0.sh0_const
+    lp, fcp = params["tp"]["linear"], params["fc"]
+    targs = (jnp.asarray(gb["_edge_tile_win"]),
+             jnp.asarray(gb["_edge_tile_first"]),
+             jnp.asarray(gb["_edge_tile_last"]),
+             jnp.asarray(gb["_edge_src_local"]),
+             jnp.asarray(gb["_edge_dst_local"]))
+
+    def out_k(k, fcp_, lp_, x_, sh_, er_):
+        return k(fcp_, lp_, x_, er_, sh_, *targs, N, pre_scale=0.5)
+
+    a = out_k(full0, fcp, lp, x, sh, er)
+    b = _ref_out(fused, fc, fcp, lp, x, sh, er, gb, N)
+    rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+    assert rel < 1e-5, rel
+
+    def loss(k):
+        def f(fcp_, lp_, x_, sh_, er_):
+            o = out_k(k, fcp_, lp_, x_, sh_, er_)
+            return jnp.sum(o * jnp.sin(0.1 * jnp.arange(o.size)
+                                       ).reshape(o.shape))
+        return f
+
+    ga = jax.grad(loss(full0), argnums=(0, 1, 2, 3, 4))(fcp, lp, x, sh, er)
+    gb_ = jax.grad(loss(full), argnums=(0, 1, 2, 3, 4))(fcp, lp, x, sh, er)
+    for u, v in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb_)):
+        denom = max(float(jnp.abs(v).max()), 1e-6)
+        assert float(jnp.abs(u - v).max()) / denom < 2e-4
