@@ -184,9 +184,12 @@ def addForceOutput(config, gradients="forces", y="energy", sign=-1.0):
 
     GradientOutput differentiates through the net in the forward pass, so
     training needs second-order autodiff.  The conv layers are built with
-    grad_order=2: Pallas kernels stay on the forward and the first-order
-    force vjp (compute_dsh=True), and only the second differentiation runs
-    through the XLA fused path (FactorizedConvolution._second_order_conv).
+    grad_order=2, routing them through the fully-kernelized
+    ``PallasFullConv.apply_grad2`` path: the 4-linear conv core is a
+    Pallas custom-vjp pair whose backward carries its own exact
+    second-order vjp; the radial MLP and layout prep stay in XLA
+    (any-order differentiable).  See
+    FactorizedConvolution._second_order_conv.
     """
     config = config.to_dict()
     layers = config.pop("layers")

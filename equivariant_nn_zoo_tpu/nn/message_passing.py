@@ -196,73 +196,20 @@ class FactorizedConvolution(Module):
 
     def _second_order_conv(self, fc_p, lin_p, x, er, sh, tile_args,
                            edge_src, edge_dst, num_nodes, pre):
-        """Double-grad-capable convolution: Pallas on the hot paths, XLA on
-        the second differentiation.
+        """Double-grad-capable convolution, fully kernelized.
 
         Force training (GradientOutput wrapping the net, reference
         e3_layers/nn/output.py:39-43 with create_graph=True) computes
         F = -dE/dpos in the forward pass and then differentiates the loss —
-        i.e. it needs d(vjp)/d(inputs), which a custom_vjp cannot provide.
-        Structure here:
-
-        - ``co`` (the conv): primal = Pallas forward.
-        - ``co``'s vjp = ``grad1``: primal = the Pallas backward kernel
-          (with compute_dsh=True so the sh->pos chain is populated).  This
-          is what runs when the model computes forces — still Pallas.
-        - ``grad1``'s vjp: the true second-order cotangents, computed by
-          differentiating the XLA fused implementation twice.  The XLA and
-          Pallas paths compute the same function (tests/test_pallas.py), so
-          mixing their derivatives is exact up to float tolerance.
-
-        Any-order autodiff beyond 2 stays in XLA land automatically.
-        """
-        import jax
-
-        full_conv, fused_conv, fc = self.full_conv, self.fused_conv, self.fc
-
-        def pallas_impl(a):
-            fc_a, lin_a, x_a, er_a, sh_a = a
-            return full_conv(fc_a, lin_a, x_a, er_a, sh_a, *tile_args,
-                             num_nodes, pre_scale=pre)
-
-        def xla_impl(a):
-            fc_a, lin_a, x_a, er_a, sh_a = a
-            weight = fc.apply(fc_a, er_a)
-            return fused_conv(lin_a, x_a, edge_src, edge_dst, sh_a, weight,
-                              num_nodes, pre_scale=pre)
-
-        @jax.custom_vjp
-        def grad1(a, g):
-            _, vjp = jax.vjp(pallas_impl, a)
-            return vjp(g)[0]
-
-        def grad1_fwd(a, g):
-            return grad1(a, g), (a, g)
-
-        def grad1_bwd(res, cots):
-            a, g = res
-
-            def first(a, g):
-                _, vjp = jax.vjp(xla_impl, a)
-                return vjp(g)[0]
-
-            _, vjp2 = jax.vjp(first, a, g)
-            return vjp2(cots)
-
-        grad1.defvjp(grad1_fwd, grad1_bwd)
-
-        @jax.custom_vjp
-        def co(a):
-            return pallas_impl(a)
-
-        def co_fwd(a):
-            return pallas_impl(a), a
-
-        def co_bwd(a, g):
-            return (grad1(a, g),)
-
-        co.defvjp(co_fwd, co_bwd)
-        return co((fc_p, lin_p, x, er, sh))
+        i.e. it differentiates TWICE through every conv layer.  The
+        ``apply_grad2`` path keeps the radial MLP and all layout prep in
+        XLA (any-order differentiable) and exposes the 4-linear conv core
+        as a Pallas custom-vjp pair whose backward carries its own exact
+        second-order vjp built from substituted first-order kernel calls
+        (ops/pallas/fused_conv.py:_make_pallas_fn_ext)."""
+        return self.full_conv.apply_grad2(
+            fc_p, lin_p, x, er, sh, *tile_args, num_nodes, pre_scale=pre,
+        )
 
     def apply(self, params, data: Dict, attrs: Dict):
         edge_radial = data["edge_radial"]

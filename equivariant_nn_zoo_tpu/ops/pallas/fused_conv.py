@@ -759,7 +759,7 @@ class PallasFullConv(PallasUVUConv):
         return pre, h.astype(cd)
 
     # -------------------------------------------------------------- kernels
-    def _tp_mid2(self, xb, sh, wT2, C2vs):
+    def _tp_mid2(self, xb, sh, wT2, C2vs, sh0c=None):
         """xb [I, mul*T], sh [J, T], wT2 [P*mul, T] (rows in _p2 order) ->
         (mid2, wt2, w2d), all [K2*mul, T] with rows (section, k, u).
 
@@ -767,12 +767,17 @@ class PallasFullConv(PallasUVUConv):
         via one narrow matmul per sh-irrep section (see _build_l2_split);
         one relayout per section splits it to edge-minor rows, and the
         radial-weight factor is assembled purely from 64-aligned row-block
-        concats of the MLP output transpose (free register stacking)."""
+        concats of the MLP output transpose (free register stacking).
+
+        ``sh0c`` overrides ``self.sh0_const`` — the second-order kernels
+        substitute cotangents into the sh slot, where row 0 is NOT 1."""
         J, I, mul, T = self.J_dim, self.I_dim, self.mul, self.tile
         cd = self.compute_dtype
+        if sh0c is None:
+            sh0c = self.sh0_const
         rows = []
         for j in range(J):
-            if j == 0 and self.sh0_const:
+            if j == 0 and sh0c:
                 rows.append(xb)
                 continue
             srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
@@ -1132,6 +1137,509 @@ class PallasFullConv(PallasUVUConv):
 
         return kernel
 
+    # ------------------------------------------------ external-w kernels
+    # The grad_order=2 path (force / score training, which differentiates
+    # TWICE through the conv) uses kernel variants whose radial weights are
+    # an INPUT (computed by the XLA-side MLP) instead of running the MLP
+    # in-kernel.  The kernel function is then exactly 4-linear in
+    # (x_nodes, shT, wT2, wsel), so its second-order vjp decomposes into
+    # first-order kernel calls with cotangents substituted into operand
+    # slots (see _make_pallas_fn_ext); the MLP's own (nonlinear) second
+    # order stays in XLA where autodiff handles it to any order.
+    # sh0_const is disabled here: cotangents substituted into the sh slot
+    # do not have a constant first row.
+
+    def _full_fwd_kernel_ext(self):
+        import jax.experimental.pallas as pl
+
+        I, mul, T, W = self.I_dim, self.mul, self.tile, self.window
+        S = self.n_secs
+        cd = self.compute_dtype
+        mix2 = self._mix2
+        nSec = len(self._secs)
+
+        def kernel(win0_ref, first_ref, last_ref, *args):
+            (srcl_ref, dstl_ref, x_ref, shT_ref, wT2_ref) = args[:5]
+            C2_refs = args[5: 5 + nSec]
+            wsel_refs = args[5 + nSec: 5 + nSec + S]
+            acc_ref = args[5 + nSec + S]
+            accw_ref = args[6 + nSec + S]
+
+            t = pl.program_id(0)
+            w0 = pl.multiple_of(win0_ref[t], 8)
+            xw = x_ref[pl.ds(w0, W), :].astype(cd)
+            srcl = srcl_ref[...]
+            dstl = dstl_ref[...]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
+            one_s = (iota == srcl).astype(cd)
+            one_d = (iota == dstl).astype(cd)
+            g_x = jax.lax.dot_general(
+                one_s, xw,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)
+            xb = jnp.transpose(g_x).reshape(I, mul * T)
+            wT2 = wT2_ref[...].astype(cd)
+            _, _, w2d = self._tp_mid2(
+                xb, shT_ref[...].astype(cd), wT2,
+                [c[...] for c in C2_refs], sh0c=False,
+            )
+            contrib = jax.lax.dot_general(
+                w2d, one_d,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                             # [K2*mul, W] f32
+
+            @pl.when(t == 0)
+            def _():
+                acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+            @pl.when(first_ref[t] == 1)
+            def _():
+                accw_ref[...] = contrib
+
+            @pl.when(first_ref[t] == 0)
+            def _():
+                accw_ref[...] = accw_ref[...] + contrib
+
+            # The trailing pad run has first=1 but no last marker; the
+            # first-order kernels deliberately skip its flush (padded-edge
+            # contributions vanish on the masked-weight manifold).  Here
+            # the flush is FORCED on the final grid tile: the second-order
+            # rule substitutes unmasked cotangents into the w/sh slots, so
+            # the fwd/bwd pair must be adjoint as exact multilinear maps —
+            # the bwd (like the XLA reference) treats every run as flushed.
+            @pl.when((last_ref[t] == 1) | (t == pl.num_programs(0) - 1))
+            def _():
+                accw = accw_ref[...].astype(cd)
+                outs = []
+                for g, mx in enumerate(mix2):
+                    d = mx["d"]
+                    for dd in range(d):
+                        blk = None
+                        for sec in mx["secs"]:
+                            c0 = (sec["k0"] + dd * sec["npg"]) * mul
+                            dsec = jax.lax.dot_general(
+                                accw[c0: c0 + sec["npg"] * mul, :],
+                                wsel_refs[sec["idx"]][...],
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )                             # [W, Wg]
+                            blk = dsec if blk is None else blk + dsec
+                        outs.append(blk)
+                full = jnp.concatenate(outs, axis=1)      # [W, out_rows]
+                cur = acc_ref[pl.ds(w0, W), :]
+                acc_ref[pl.ds(w0, W), :] = cur + full.astype(acc_ref.dtype)
+
+        return kernel
+
+    def _full_bwd_kernel_ext(self):
+        import jax.experimental.pallas as pl
+
+        J, I, mul, T, W = (self.J_dim, self.I_dim, self.mul, self.tile,
+                           self.window)
+        S = self.n_secs
+        cd = self.compute_dtype
+        mix2 = self._mix2
+        nSec = len(self._secs)
+        secs_meta = self._secs
+
+        def kernel(win0_ref, first_ref, last_ref, *args):
+            (srcl_ref, dstl_ref, x_ref, shT_ref, wT2_ref) = args[:5]
+            C2_refs = args[5: 5 + nSec]
+            C2T_refs = args[5 + nSec: 5 + 2 * nSec]
+            wsel_refs = args[5 + 2 * nSec: 5 + 2 * nSec + S]
+            gout_ref = args[5 + 2 * nSec + S]
+            n_in = 6 + 2 * nSec + S
+            dx_ref, dsh_ref, dwT2_ref = args[n_in: n_in + 3]
+            dwsel_refs = args[n_in + 3: n_in + 3 + S]
+            dwin_ref, accw_ref = args[n_in + 3 + S:]       # scratch
+
+            t = pl.program_id(0)
+            w0 = pl.multiple_of(win0_ref[t], 8)
+
+            @pl.when(t == 0)
+            def _():
+                dx_ref[...] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
+                for s in range(S):
+                    dwsel_refs[s][...] = jnp.zeros(
+                        dwsel_refs[s].shape, dwsel_refs[s].dtype
+                    )
+
+            @pl.when(first_ref[t] == 1)
+            def _():
+                gw = gout_ref[pl.ds(w0, W), :].astype(cd)
+                blocks = []
+                for si, sm in enumerate(secs_meta):
+                    used = 0
+                    for g, mx in enumerate(mix2):
+                        Wg, d = mx["Wg"], mx["d"]
+                        for sec in mx["secs"]:
+                            if sec["si"] != si:
+                                continue
+                            ws_g = wsel_refs[sec["idx"]][...]
+                            for dd in range(d):
+                                r0 = mx["out_row"] + dd * Wg
+                                blocks.append(
+                                    jax.lax.dot_general(
+                                        ws_g, gw[:, r0: r0 + Wg],
+                                        dimension_numbers=(
+                                            ((1,), (1,)), ((), ())
+                                        ),
+                                        preferred_element_type=jnp.float32,
+                                    )
+                                )                          # [npg*mul, W]
+                            used += sec["npg"] * d
+                    if sm["K8"] - used:
+                        blocks.append(
+                            jnp.zeros(((sm["K8"] - used) * mul, W),
+                                      jnp.float32)
+                        )
+                dwin_ref[...] = jnp.concatenate(blocks, axis=0).astype(
+                    dwin_ref.dtype
+                )
+                accw_ref[...] = jnp.zeros(accw_ref.shape, accw_ref.dtype)
+
+            xw = x_ref[pl.ds(w0, W), :].astype(cd)
+            srcl = srcl_ref[...]
+            dstl = dstl_ref[...]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
+            one_s = (iota == srcl).astype(cd)
+            one_d = (iota == dstl).astype(cd)
+            g_x = jax.lax.dot_general(
+                one_s, xw, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)
+            xb = jnp.transpose(g_x).reshape(I, mul * T)
+            sh = shT_ref[...].astype(cd)
+            wT2 = wT2_ref[...].astype(cd)
+
+            # recompute forward intermediates (remat)
+            mid2, wt2, w2d = self._tp_mid2(xb, sh, wT2,
+                                           [c[...] for c in C2_refs],
+                                           sh0c=False)
+            contrib = jax.lax.dot_general(
+                w2d, one_d,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [K2*mul, W] f32
+            accw_ref[...] = accw_ref[...] + contrib
+
+            dw2d = jax.lax.dot_general(
+                dwin_ref[...], one_d,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)                                   # [K2*mul, T]
+
+            # radial-weight cotangent, emitted per tile in _p2 row order
+            dwp2 = dw2d * mid2
+            dwt_blocks = []
+            for si in range(nSec):
+                for g, mx in enumerate(mix2):
+                    d = mx["d"]
+                    for sec in mx["secs"]:
+                        if sec["si"] != si:
+                            continue
+                        dw_acc = None
+                        for dd in range(d):
+                            r0 = (sec["k0"] + dd * sec["npg"]) * mul
+                            blk = dwp2[r0: r0 + sec["npg"] * mul, :]
+                            dw_acc = blk if dw_acc is None else dw_acc + blk
+                        dwt_blocks.append(dw_acc)          # [npg*mul, T]
+            dwT2_ref[...] = jnp.concatenate(dwt_blocks, axis=0).astype(
+                dwT2_ref.dtype
+            )
+
+            # forced trailing-pad-run flush — must mirror the ext fwd
+            # kernel so dwsel is the exact m-partial of the same flushed
+            # multilinear map (second-order substitutions are unmasked).
+            @pl.when((last_ref[t] == 1) | (t == pl.num_programs(0) - 1))
+            def _():
+                accw = accw_ref[...].astype(cd)
+                gw = gout_ref[pl.ds(w0, W), :].astype(cd)
+                for g, mx in enumerate(mix2):
+                    d, Wg = mx["d"], mx["Wg"]
+                    for sec in mx["secs"]:
+                        dws = None
+                        for dd in range(d):
+                            c0 = (sec["k0"] + dd * sec["npg"]) * mul
+                            r0 = mx["out_row"] + dd * Wg
+                            c = jax.lax.dot_general(
+                                accw[c0: c0 + sec["npg"] * mul, :],
+                                gw[:, r0: r0 + Wg],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )                              # [npg*mul, Wg]
+                            dws = c if dws is None else dws + c
+                        dwsel_refs[sec["idx"]][...] = (
+                            dwsel_refs[sec["idx"]][...] + dws
+                        )
+
+            dmid2 = dw2d * wt2
+            dblocks = []
+            jm_done = 0
+            for si, sm in enumerate(secs_meta):
+                if sm["jm0"] > jm_done:
+                    dblocks.append(jnp.zeros(
+                        ((sm["jm0"] - jm_done) * I, mul * T), cd
+                    ))
+                dmid_s = dmid2[
+                    sm["k0"] * mul: (sm["k0"] + sm["K8"]) * mul, :
+                ].reshape(sm["K8"], mul * T)
+                dblocks.append(jax.lax.dot_general(
+                    C2T_refs[si][...].astype(cd), dmid_s,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(cd))                              # [jdim*I, mul*T]
+                jm_done = sm["jm0"] + sm["jdim"]
+            if jm_done < J:
+                dblocks.append(jnp.zeros(((J - jm_done) * I, mul * T), cd))
+            douter = jnp.concatenate(dblocks, axis=0)
+
+            dxb = None
+            dsh_rows = []
+            for j in range(J):
+                do_j = douter[j * I: (j + 1) * I, :]
+                srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
+                c = srep * do_j
+                dxb = c if dxb is None else dxb + c
+                s = jnp.sum(do_j * xb, axis=0)
+                dsh_rows.append(jnp.sum(s.reshape(mul, T), axis=0,
+                                        keepdims=True))
+            dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0).astype(
+                dsh_ref.dtype
+            )
+            dxT = jnp.transpose(dxb.reshape(I * mul, T))   # [T, I*mul]
+            contribX = jax.lax.dot_general(
+                one_s, dxT, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [W, I*mul]
+            cur = dx_ref[pl.ds(w0, W), :]
+            dx_ref[pl.ds(w0, W), :] = cur + contribX.astype(dx_ref.dtype)
+
+        return kernel
+
+    def _make_pallas_fn_ext(self, N, E, win0, tile_first, tile_last,
+                            srcl, dstl):
+        """Twice-differentiable conv core for the grad_order=2 path.
+
+        Returns ``f2(x_nodes, shT, wT2, wsel) -> acc`` with a custom vjp
+        whose backward (``g2`` = the Pallas backward kernel, i.e. the force
+        path) carries its OWN custom vjp implementing the exact
+        second-order cotangents.
+
+        The core F is 4-linear in its operands, so with first-order
+        outputs ``do_i = (dF/do_i)^T g`` the second-order rule is a plain
+        pairing: for incoming cotangents ``c_i`` (on ``do_i``),
+
+            c_g    = sum_i F(o with slot i -> c_i)
+            c_{oj} = sum_{i != j} [j-output of Bk(o with slot i -> c_i, g)]
+
+        where Bk is the backward kernel itself — each of its outputs is
+        independent of its own operand slot, so one substituted Bk call
+        yields the three cross terms for that slot.  4 forward + 4 backward
+        kernel calls total, all first-order Pallas.  Third-order autodiff
+        is not provided (raises on use)."""
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        J, I, mul, T = self.J_dim, self.I_dim, self.mul, self.tile
+        P = len(self.paths)
+        W = self.window
+        cd = self.compute_dtype
+        C2s, C2Ts = self._C2s, self._C2Ts
+        K2 = self.K2
+        out_rows = self.out_rows
+        fwd_kernel = self._full_fwd_kernel_ext()
+        bwd_kernel = self._full_bwd_kernel_ext()
+        interpret = _use_interpret()
+        grid = (E // T,)
+
+        def edge_spec(shape):
+            return pl.BlockSpec(shape, lambda t, *_: (0, t))
+
+        def run_fwd(x_nodes, shT, wT2, wsel):
+            gspec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),
+                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),
+                    pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0)),
+                    edge_spec((J, T)),
+                    edge_spec((P * mul, T)),
+                ] + [
+                    pl.BlockSpec(c.shape, lambda t, *_: (0, 0)) for c in C2s
+                ] + [
+                    pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
+                ],
+                out_specs=pl.BlockSpec((N, out_rows), lambda t, *_: (0, 0)),
+                scratch_shapes=[pltpu.VMEM((K2 * mul, W), jnp.float32)],
+            )
+            return pl.pallas_call(
+                fwd_kernel,
+                grid_spec=gspec,
+                out_shape=jax.ShapeDtypeStruct((N, out_rows), cd),
+                interpret=interpret,
+                **_compiler_params(interpret),
+            )(win0, tile_first, tile_last, srcl, dstl, x_nodes, shT, wT2,
+              *C2s, *wsel)
+
+        def run_bwd(x_nodes, shT, wT2, wsel, gout):
+            gspec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),
+                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),
+                    pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0)),
+                    edge_spec((J, T)),
+                    edge_spec((P * mul, T)),
+                ] + [
+                    *[pl.BlockSpec(c.shape, lambda t, *_: (0, 0))
+                      for c in C2s],
+                    *[pl.BlockSpec(c.shape, lambda t, *_: (0, 0))
+                      for c in C2Ts],
+                ] + [
+                    pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
+                ] + [
+                    pl.BlockSpec((N, out_rows), lambda t, *_: (0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0)),  # dx
+                    edge_spec((J, T)),                                 # dsh
+                    edge_spec((P * mul, T)),                           # dwT2
+                ] + [
+                    pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((K2 * mul, W), cd),             # dwin
+                    pltpu.VMEM((K2 * mul, W), jnp.float32),    # accw (remat)
+                ],
+            )
+            out_shapes = [
+                jax.ShapeDtypeStruct((N, I * mul), jnp.float32),
+                jax.ShapeDtypeStruct((J, E), cd),
+                jax.ShapeDtypeStruct((P * mul, E), cd),
+            ] + [
+                jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wsel
+            ]
+            outs = pl.pallas_call(
+                bwd_kernel,
+                grid_spec=gspec,
+                out_shape=out_shapes,
+                interpret=interpret,
+                **_compiler_params(interpret),
+            )(win0, tile_first, tile_last, srcl, dstl, x_nodes, shT, wT2,
+              *C2s, *C2Ts, *wsel, gout)
+            return outs[0], outs[1], outs[2], tuple(outs[3:])
+
+        @jax.custom_vjp
+        def g2(x_nodes, shT, wT2, wsel, gout):
+            return run_bwd(x_nodes, shT, wT2, wsel, gout)
+
+        def g2_fwd(x_nodes, shT, wT2, wsel, gout):
+            # Call g2 itself (not run_bwd): under grad-of-grad the fwd is
+            # invoked with the OUTER jvp trace's tracers still attached, and
+            # a raw pallas_call has no jvp rule (scalar-prefetch grids).
+            # Re-entering the custom_vjp peels one trace level per call and
+            # bottoms out at concrete values.
+            return g2(x_nodes, shT, wT2, wsel, gout), (
+                x_nodes, shT, wT2, wsel, gout
+            )
+
+        def g2_bwd(res, cots):
+            x_nodes, shT, wT2, wsel, gout = res
+            cx, csh, cw, cwsel = cots
+            cx = cx.astype(cd)
+            csh = csh.astype(cd)
+            cw = cw.astype(cd)
+            cwsel = tuple(c.astype(cd) for c in cwsel)
+            # pairing rule: one substituted backward call per operand slot
+            b1 = run_bwd(cx, shT, wT2, wsel, gout)
+            b2 = run_bwd(x_nodes, csh, wT2, wsel, gout)
+            b3 = run_bwd(x_nodes, shT, cw, wsel, gout)
+            b4 = run_bwd(x_nodes, shT, wT2, cwsel, gout)
+            c_x = b2[0] + b3[0] + b4[0]
+            c_s = b1[1] + b3[1] + b4[1]
+            c_w = b1[2] + b2[2] + b4[2]
+            c_m = tuple(
+                u + v + w for u, v, w in zip(b1[3], b2[3], b3[3])
+            )
+            c_g = (
+                run_fwd(cx, shT, wT2, wsel).astype(jnp.float32)
+                + run_fwd(x_nodes, csh, wT2, wsel)
+                + run_fwd(x_nodes, shT, cw, wsel)
+                + run_fwd(x_nodes, shT, wT2, cwsel)
+            )
+            return (
+                c_x.astype(x_nodes.dtype), c_s.astype(shT.dtype),
+                c_w.astype(wT2.dtype),
+                tuple(c.astype(w.dtype) for c, w in zip(c_m, wsel)),
+                c_g.astype(gout.dtype),
+            )
+
+        g2.defvjp(g2_fwd, g2_bwd)
+
+        @jax.custom_vjp
+        def f2(x_nodes, shT, wT2, wsel):
+            return run_fwd(x_nodes, shT, wT2, wsel)
+
+        def f2_fwd(x_nodes, shT, wT2, wsel):
+            # f2, not run_fwd — see g2_fwd for why (outer-trace peeling).
+            return f2(x_nodes, shT, wT2, wsel), (
+                x_nodes, shT, wT2, wsel
+            )
+
+        def f2_bwd(res, gout):
+            x_nodes, shT, wT2, wsel = res
+            dx, dsh, dwT2, dwsel = g2(x_nodes, shT, wT2, wsel, gout)
+            return (
+                dx.astype(x_nodes.dtype), dsh.astype(shT.dtype),
+                dwT2.astype(wT2.dtype),
+                tuple(d.astype(w.dtype) for d, w in zip(dwsel, wsel)),
+            )
+
+        f2.defvjp(f2_fwd, f2_bwd)
+        return f2
+
+    def apply_grad2(self, fc_params, linear_params, x, edge_radial, sh,
+                    win0, tile_first, tile_last, src_local, dst_local,
+                    num_nodes: int, pre_scale=None, out_dtype=jnp.float32):
+        """Twice-differentiable full conv (force / score training).
+
+        Same math as ``__call__`` but the radial MLP, operand layout prep
+        and output formatting run in XLA (differentiable to any order);
+        only the 4-linear conv core is a Pallas custom-vjp pair.  See
+        _make_pallas_fn_ext for the second-order structure."""
+        cd = self.compute_dtype
+        E = sh.shape[0]
+        T = self.tile
+        assert E % T == 0
+
+        x_nodes = self._prep_x_nodes(x, num_nodes)
+        shT = jnp.transpose(sh, (1, 0)).astype(cd)
+        w_edge = self.fc.apply(
+            fc_params, edge_radial,
+            compute_dtype=str(np.dtype(cd)),
+        )                                        # [E, P_tpe*mul]
+        wT2 = jnp.transpose(
+            w_edge[:, self._wcol_perm2], (1, 0)
+        ).astype(cd)                             # [P*mul, E], _p2 row order
+        wsel = tuple(self._prep_wsel2(linear_params))
+        if pre_scale is not None:
+            wsel = tuple(w * pre_scale for w in wsel)
+
+        srcl = src_local.reshape(1, E).astype(jnp.int32)
+        dstl = dst_local.reshape(1, E).astype(jnp.int32)
+        f2 = self._make_pallas_fn_ext(
+            num_nodes, E, win0.astype(jnp.int32),
+            tile_first.astype(jnp.int32), tile_last.astype(jnp.int32),
+            srcl, dstl,
+        )
+        acc = f2(x_nodes, shT, wT2, wsel)
+        return self._format_output(acc, num_nodes, None, out_dtype)
+
     # ------------------------------------------------------------ pallas op
     def _make_pallas_fn(self, N, E, win0, tile_first, tile_last, srcl, dstl):
         """Build the custom_vjp'd op closing over this call's edge layout."""
@@ -1284,18 +1792,7 @@ class PallasFullConv(PallasUVUConv):
         mul, I = self.mul, self.I_dim
         assert E % T == 0
 
-        # node table [N, (i, u)]
-        blocks = []
-        ofs = 0
-        for mi in self.irreps_in:
-            d = mi.ir.dim
-            b = x[:, ofs: ofs + mul * d].reshape(-1, mul, d)
-            blocks.append(jnp.transpose(b, (0, 2, 1)))   # [N, d, mul]
-            ofs += mul * d
-        x_nodes = jnp.concatenate(blocks, axis=1).reshape(
-            num_nodes, I * mul
-        ).astype(cd)
-
+        x_nodes = self._prep_x_nodes(x, num_nodes)
         shT = jnp.transpose(sh, (1, 0)).astype(cd)
         er = edge_radial.astype(jnp.float32)
         Ws = []
@@ -1314,11 +1811,30 @@ class PallasFullConv(PallasUVUConv):
                                  tile_last.astype(jnp.int32),
                                  srcl, dstl)
         acc = f(x_nodes, shT, er, Ws, wsel)     # [N, out_rows] compute dtype
-        # kernel rows (g, dd, io, u) -> irreps_out columns (io, u, dd) via
-        # dense slices + one transpose per (group, io) — an elementwise
-        # jnp.take gather here costs ~20x the bandwidth floor on TPU.
-        # Formatting stays in compute dtype; the cast to out_dtype happens
-        # on the final per-io blocks.
+        return self._format_output(acc, num_nodes, extra_io, out_dtype)
+
+    def _prep_x_nodes(self, x, num_nodes):
+        """x [N, irreps layout] -> node table [N, (i, u)] in compute dtype."""
+        cd = self.compute_dtype
+        mul, I = self.mul, self.I_dim
+        blocks = []
+        ofs = 0
+        for mi in self.irreps_in:
+            d = mi.ir.dim
+            b = x[:, ofs: ofs + mul * d].reshape(-1, mul, d)
+            blocks.append(jnp.transpose(b, (0, 2, 1)))   # [N, d, mul]
+            ofs += mul * d
+        return jnp.concatenate(blocks, axis=1).reshape(
+            num_nodes, I * mul
+        ).astype(cd)
+
+    def _format_output(self, acc, num_nodes, extra_io=None,
+                       out_dtype=jnp.float32):
+        """kernel rows (g, dd, io, u) -> irreps_out columns (io, u, dd) via
+        dense slices + one transpose per (group, io) — an elementwise
+        jnp.take gather here costs ~20x the bandwidth floor on TPU.
+        Formatting stays in compute dtype; the cast to out_dtype happens
+        on the final per-io blocks."""
         extra_io = extra_io or {}
         per_io = {}
         for g, mx in enumerate(self._mix):
