@@ -1544,33 +1544,70 @@ class PallasFullConv(PallasUVUConv):
             # a raw pallas_call has no jvp rule (scalar-prefetch grids).
             # Re-entering the custom_vjp peels one trace level per call and
             # bottoms out at concrete values.
+            # symbolic_zeros=True wraps every leaf in a CustomVJPPrimal.
+            x_nodes, shT, wT2, wsel, gout = jax.tree_util.tree_map(
+                lambda p: p.value, (x_nodes, shT, wT2, wsel, gout),
+                is_leaf=lambda p: hasattr(p, "perturbed"),
+            )
             return g2(x_nodes, shT, wT2, wsel, gout), (
                 x_nodes, shT, wT2, wsel, gout
             )
 
         def g2_bwd(res, cots):
+            from jax.custom_derivatives import SymbolicZero
+
             x_nodes, shT, wT2, wsel, gout = res
             cx, csh, cw, cwsel = cots
-            cx = cx.astype(cd)
-            csh = csh.astype(cd)
-            cw = cw.astype(cd)
-            cwsel = tuple(c.astype(cd) for c in cwsel)
+            # symbolic_zeros: a cotangent slot that is structurally zero
+            # (e.g. the force pass discards the dwsel output, so its
+            # cotangent never materializes) skips that slot's substituted
+            # kernel calls entirely — one bwd + one fwd pass per zero slot.
+            have_x = not isinstance(cx, SymbolicZero)
+            have_s = not isinstance(csh, SymbolicZero)
+            have_w = not isinstance(cw, SymbolicZero)
+            have_m = any(not isinstance(c, SymbolicZero) for c in cwsel)
+            cx = cx.astype(cd) if have_x else None
+            csh = csh.astype(cd) if have_s else None
+            cw = cw.astype(cd) if have_w else None
+            cwsel = tuple(
+                jnp.zeros(w.shape, cd) if isinstance(c, SymbolicZero)
+                else c.astype(cd)
+                for c, w in zip(cwsel, wsel)
+            ) if have_m else None
             # pairing rule: one substituted backward call per operand slot
-            b1 = run_bwd(cx, shT, wT2, wsel, gout)
-            b2 = run_bwd(x_nodes, csh, wT2, wsel, gout)
-            b3 = run_bwd(x_nodes, shT, cw, wsel, gout)
-            b4 = run_bwd(x_nodes, shT, wT2, cwsel, gout)
-            c_x = b2[0] + b3[0] + b4[0]
-            c_s = b1[1] + b3[1] + b4[1]
-            c_w = b1[2] + b2[2] + b4[2]
-            c_m = tuple(
-                u + v + w for u, v, w in zip(b1[3], b2[3], b3[3])
-            )
-            c_g = (
-                run_fwd(cx, shT, wT2, wsel).astype(jnp.float32)
-                + run_fwd(x_nodes, csh, wT2, wsel)
-                + run_fwd(x_nodes, shT, cw, wsel)
-                + run_fwd(x_nodes, shT, wT2, cwsel)
+            b1 = run_bwd(cx, shT, wT2, wsel, gout) if have_x else None
+            b2 = run_bwd(x_nodes, csh, wT2, wsel, gout) if have_s else None
+            b3 = run_bwd(x_nodes, shT, cw, wsel, gout) if have_w else None
+            b4 = run_bwd(x_nodes, shT, wT2, cwsel, gout) if have_m else None
+
+            def total(parts, zero):
+                parts = [p for p in parts if p is not None]
+                if not parts:
+                    return zero()
+                acc = parts[0]
+                for p in parts[1:]:
+                    acc = jax.tree_util.tree_map(jnp.add, acc, p)
+                return acc
+
+            c_x = total([b and b[0] for b in (b2, b3, b4)],
+                        lambda: jnp.zeros(x_nodes.shape, jnp.float32))
+            c_s = total([b and b[1] for b in (b1, b3, b4)],
+                        lambda: jnp.zeros(shT.shape, cd))
+            c_w = total([b and b[2] for b in (b1, b2, b4)],
+                        lambda: jnp.zeros(wT2.shape, cd))
+            c_m = total([b and b[3] for b in (b1, b2, b3)],
+                        lambda: tuple(jnp.zeros(w.shape, jnp.float32)
+                                      for w in wsel))
+            c_g = total(
+                [run_fwd(cx, shT, wT2, wsel).astype(jnp.float32)
+                 if have_x else None,
+                 run_fwd(x_nodes, csh, wT2, wsel).astype(jnp.float32)
+                 if have_s else None,
+                 run_fwd(x_nodes, shT, cw, wsel).astype(jnp.float32)
+                 if have_w else None,
+                 run_fwd(x_nodes, shT, wT2, cwsel).astype(jnp.float32)
+                 if have_m else None],
+                lambda: jnp.zeros(gout.shape, gout.dtype),
             )
             return (
                 c_x.astype(x_nodes.dtype), c_s.astype(shT.dtype),
@@ -1579,7 +1616,7 @@ class PallasFullConv(PallasUVUConv):
                 c_g.astype(gout.dtype),
             )
 
-        g2.defvjp(g2_fwd, g2_bwd)
+        g2.defvjp(g2_fwd, g2_bwd, symbolic_zeros=True)
 
         @jax.custom_vjp
         def f2(x_nodes, shT, wT2, wsel):
