@@ -771,10 +771,16 @@ class PallasFullConv(PallasUVUConv):
 
         ``sh0c`` overrides ``self.sh0_const`` — the second-order kernels
         substitute cotangents into the sh slot, where row 0 is NOT 1."""
-        J, I, mul, T = self.J_dim, self.I_dim, self.mul, self.tile
-        cd = self.compute_dtype
         if sh0c is None:
             sh0c = self.sh0_const
+        mid2 = self._mid2_of(xb, sh, C2vs, sh0c)
+        wt2 = self._wt2_of(wT2)
+        return mid2, wt2, mid2 * wt2
+
+    def _mid2_of(self, xb, sh, C2vs, sh0c):
+        """The (x, sh)-dependent TP intermediate: [K2*mul, T] section rows."""
+        J, I, mul, T = self.J_dim, self.I_dim, self.mul, self.tile
+        cd = self.compute_dtype
         rows = []
         for j in range(J):
             if j == 0 and sh0c:
@@ -795,8 +801,12 @@ class PallasFullConv(PallasUVUConv):
                 preferred_element_type=jnp.float32,
             ).astype(cd)                                   # [K8, mul*T]
             mids.append(mid_s.reshape(sm["K8"] * mul, T))
-        mid2 = jnp.concatenate(mids, axis=0)
-        # radial-weight rows matching the (section, g, dd, m, u) row order
+        return jnp.concatenate(mids, axis=0)
+
+    def _wt2_of(self, wT2):
+        """Radial-weight rows matching the (section, g, dd, m, u) order."""
+        mul, T = self.mul, self.tile
+        cd = self.compute_dtype
         parts = []
         for si, sm in enumerate(self._secs):
             used = 0
@@ -811,8 +821,7 @@ class PallasFullConv(PallasUVUConv):
                     used += sec["npg"] * d
             if sm["K8"] - used:
                 parts.append(jnp.zeros(((sm["K8"] - used) * mul, T), cd))
-        wt2 = jnp.concatenate(parts, axis=0)               # [K2*mul, T]
-        return mid2, wt2, mid2 * wt2
+        return jnp.concatenate(parts, axis=0)              # [K2*mul, T]
 
     def _full_fwd_kernel(self):
         import jax.experimental.pallas as pl
@@ -1419,6 +1428,253 @@ class PallasFullConv(PallasUVUConv):
 
         return kernel
 
+    def _grad2_fused_kernel(self):
+        """One-pass second-order backward for the force-training hot case
+        (cotangents present on the dx/dsh/dwT2 outputs, absent on dwsel).
+
+        Computes, in a single sweep over edge tiles, the sums the pairing
+        rule otherwise assembles from three substituted backward calls and
+        three substituted forward calls (see _make_pallas_fn_ext):
+
+            c_x = Bx(s->cs) + Bx(w->cw)         [b2[0] + b3[0]]
+            c_s = Bs(x->cx) + Bs(w->cw)         [b1[1] + b3[1]]
+            c_w = Bw(x->cx) + Bw(s->cs)         [b1[2] + b2[2]]
+            c_m = Bm(x->cx) + Bm(s->cs) + Bm(w->cw)
+            c_g = F(x->cx)  + F(s->cs)  + F(w->cw)
+
+        Shared work that the substituted calls would each redo exactly:
+        the one-hot gather/scatter operators, the run-level ``dwin``
+        mixing adjoint and its per-tile scatter ``dw2d`` (functions of
+        (wsel, gout) only — identical across all three backward calls),
+        and the ``douter`` CG-adjoint matmuls for the two calls that share
+        the unsubstituted radial weights.  The three forward calls
+        collapse completely: their per-run accumulators sum, so c_g and
+        c_m share ONE accumulated ``accw`` (one contrib matmul per tile)
+        and one mix/flush each per run."""
+        import jax.experimental.pallas as pl
+
+        J, I, mul, T, W = (self.J_dim, self.I_dim, self.mul, self.tile,
+                           self.window)
+        S = self.n_secs
+        cd = self.compute_dtype
+        mix2 = self._mix2
+        nSec = len(self._secs)
+        secs_meta = self._secs
+
+        def kernel(win0_ref, first_ref, last_ref, *args):
+            (srcl_ref, dstl_ref, x_ref, cx_ref, shT_ref, cshT_ref,
+             wT2_ref, cwT_ref) = args[:8]
+            C2_refs = args[8: 8 + nSec]
+            C2T_refs = args[8 + nSec: 8 + 2 * nSec]
+            wsel_refs = args[8 + 2 * nSec: 8 + 2 * nSec + S]
+            gout_ref = args[8 + 2 * nSec + S]
+            n_in = 9 + 2 * nSec + S
+            dx_ref, dsh_ref, dwT2_ref = args[n_in: n_in + 3]
+            dwsel_refs = args[n_in + 3: n_in + 3 + S]
+            accg_ref = args[n_in + 3 + S]
+            dwin_ref, accw_ref = args[n_in + 4 + S:]       # scratch
+
+            t = pl.program_id(0)
+            w0 = pl.multiple_of(win0_ref[t], 8)
+
+            @pl.when(t == 0)
+            def _():
+                dx_ref[...] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
+                accg_ref[...] = jnp.zeros(accg_ref.shape, accg_ref.dtype)
+                for s in range(S):
+                    dwsel_refs[s][...] = jnp.zeros(
+                        dwsel_refs[s].shape, dwsel_refs[s].dtype
+                    )
+
+            @pl.when(first_ref[t] == 1)
+            def _():
+                # mixing adjoint for this run — identical for every
+                # substituted backward call (depends on wsel, gout only)
+                gw = gout_ref[pl.ds(w0, W), :].astype(cd)
+                blocks = []
+                for si, sm in enumerate(secs_meta):
+                    used = 0
+                    for g, mx in enumerate(mix2):
+                        Wg, d = mx["Wg"], mx["d"]
+                        for sec in mx["secs"]:
+                            if sec["si"] != si:
+                                continue
+                            ws_g = wsel_refs[sec["idx"]][...]
+                            for dd in range(d):
+                                r0 = mx["out_row"] + dd * Wg
+                                blocks.append(
+                                    jax.lax.dot_general(
+                                        ws_g, gw[:, r0: r0 + Wg],
+                                        dimension_numbers=(
+                                            ((1,), (1,)), ((), ())
+                                        ),
+                                        preferred_element_type=jnp.float32,
+                                    )
+                                )                          # [npg*mul, W]
+                            used += sec["npg"] * d
+                    if sm["K8"] - used:
+                        blocks.append(
+                            jnp.zeros(((sm["K8"] - used) * mul, W),
+                                      jnp.float32)
+                        )
+                dwin_ref[...] = jnp.concatenate(blocks, axis=0).astype(
+                    dwin_ref.dtype
+                )
+                accw_ref[...] = jnp.zeros(accw_ref.shape, accw_ref.dtype)
+
+            srcl = srcl_ref[...]
+            dstl = dstl_ref[...]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
+            one_s = (iota == srcl).astype(cd)
+            one_d = (iota == dstl).astype(cd)
+
+            def gather(ref):
+                g_v = jax.lax.dot_general(
+                    one_s, ref[pl.ds(w0, W), :].astype(cd),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(cd)
+                return jnp.transpose(g_v).reshape(I, mul * T)
+
+            xb = gather(x_ref)
+            cxb = gather(cx_ref)
+            sh = shT_ref[...].astype(cd)
+            cshv = cshT_ref[...].astype(cd)
+            C2vs = [c[...] for c in C2_refs]
+
+            # three substitution variants of the TP intermediate; the two
+            # radial-weight factors (true w, cotangent cw)
+            mid_a = self._mid2_of(cxb, sh, C2vs, False)    # (x->cx, s, w)
+            mid_b = self._mid2_of(xb, cshv, C2vs, False)   # (x, s->cs, w)
+            mid_c = self._mid2_of(xb, sh, C2vs, False)     # (x, s, w->cw)
+            wt_w = self._wt2_of(wT2_ref[...].astype(cd))
+            wt_c = self._wt2_of(cwT_ref[...].astype(cd))
+
+            # c_g and c_m share one accumulator: the three forward flushes
+            # and three dwsel flushes are linear in accw, so the summed
+            # per-run accumulation feeds both
+            w2d_sum = (mid_a + mid_b) * wt_w + mid_c * wt_c
+            contrib = jax.lax.dot_general(
+                w2d_sum, one_d,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [K2*mul, W]
+            accw_ref[...] = accw_ref[...] + contrib
+
+            dw2d = jax.lax.dot_general(
+                dwin_ref[...], one_d,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)                                   # [K2*mul, T]
+
+            # c_w: the b1/b2 radial cotangents share dw2d; emit the sum
+            dwp_sum = dw2d * (mid_a + mid_b)
+            dwt_blocks = []
+            for si in range(nSec):
+                for g, mx in enumerate(mix2):
+                    d = mx["d"]
+                    for sec in mx["secs"]:
+                        if sec["si"] != si:
+                            continue
+                        dw_acc = None
+                        for dd in range(d):
+                            r0 = (sec["k0"] + dd * sec["npg"]) * mul
+                            blk = dwp_sum[r0: r0 + sec["npg"] * mul, :]
+                            dw_acc = blk if dw_acc is None else dw_acc + blk
+                        dwt_blocks.append(dw_acc)          # [npg*mul, T]
+            dwT2_ref[...] = jnp.concatenate(dwt_blocks, axis=0).astype(
+                dwT2_ref.dtype
+            )
+
+            # forced trailing-pad-run flush — see _full_fwd_kernel_ext
+            @pl.when((last_ref[t] == 1) | (t == pl.num_programs(0) - 1))
+            def _():
+                accw = accw_ref[...].astype(cd)
+                gw = gout_ref[pl.ds(w0, W), :].astype(cd)
+                outs = []
+                for g, mx in enumerate(mix2):
+                    d, Wg = mx["d"], mx["Wg"]
+                    for dd in range(d):
+                        blk = None
+                        for sec in mx["secs"]:
+                            c0 = (sec["k0"] + dd * sec["npg"]) * mul
+                            rows = accw[c0: c0 + sec["npg"] * mul, :]
+                            # c_m flush for this (sec, dd)
+                            dws = jax.lax.dot_general(
+                                rows, gw[:, mx["out_row"] + dd * Wg:
+                                         mx["out_row"] + (dd + 1) * Wg],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )                              # [npg*mul, Wg]
+                            dwsel_refs[sec["idx"]][...] = (
+                                dwsel_refs[sec["idx"]][...] + dws
+                            )
+                            # c_g mix flush for this (sec, dd)
+                            dsec = jax.lax.dot_general(
+                                rows, wsel_refs[sec["idx"]][...],
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )                              # [W, Wg]
+                            blk = dsec if blk is None else blk + dsec
+                        outs.append(blk)
+                full = jnp.concatenate(outs, axis=1)       # [W, out_rows]
+                cur = accg_ref[pl.ds(w0, W), :]
+                accg_ref[pl.ds(w0, W), :] = cur + full.astype(accg_ref.dtype)
+
+            # douter CG adjoints: ONE chain for the shared-w calls (b1/b2),
+            # one for the cw substitution (b3)
+            def douter_of(wt):
+                dmid = dw2d * wt
+                dblocks = []
+                jm_done = 0
+                for si, sm in enumerate(secs_meta):
+                    if sm["jm0"] > jm_done:
+                        dblocks.append(jnp.zeros(
+                            ((sm["jm0"] - jm_done) * I, mul * T), cd
+                        ))
+                    dmid_s = dmid[
+                        sm["k0"] * mul: (sm["k0"] + sm["K8"]) * mul, :
+                    ].reshape(sm["K8"], mul * T)
+                    dblocks.append(jax.lax.dot_general(
+                        C2T_refs[si][...].astype(cd), dmid_s,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(cd))                          # [jdim*I, mul*T]
+                    jm_done = sm["jm0"] + sm["jdim"]
+                if jm_done < J:
+                    dblocks.append(jnp.zeros(((J - jm_done) * I, mul * T),
+                                             cd))
+                return jnp.concatenate(dblocks, axis=0)
+
+            douter_w = douter_of(wt_w)
+            douter_c = douter_of(wt_c)
+
+            dxb = None
+            dsh_rows = []
+            for j in range(J):
+                dow = douter_w[j * I: (j + 1) * I, :]
+                doc = douter_c[j * I: (j + 1) * I, :]
+                srep_s = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
+                srep_cs = jnp.concatenate([cshv[j: j + 1, :]] * mul, axis=1)
+                c = srep_cs * dow + srep_s * doc           # b2[0] + b3[0]
+                dxb = c if dxb is None else dxb + c
+                s_val = (jnp.sum(dow * cxb, axis=0)        # b1[1]
+                         + jnp.sum(doc * xb, axis=0))      # b3[1]
+                dsh_rows.append(jnp.sum(s_val.reshape(mul, T), axis=0,
+                                        keepdims=True))
+            dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0).astype(
+                dsh_ref.dtype
+            )
+            dxT = jnp.transpose(dxb.reshape(I * mul, T))   # [T, I*mul]
+            contribX = jax.lax.dot_general(
+                one_s, dxT, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [W, I*mul]
+            cur = dx_ref[pl.ds(w0, W), :]
+            dx_ref[pl.ds(w0, W), :] = cur + contribX.astype(dx_ref.dtype)
+
+        return kernel
+
     def _make_pallas_fn_ext(self, N, E, win0, tile_first, tile_last,
                             srcl, dstl):
         """Twice-differentiable conv core for the grad_order=2 path.
@@ -1534,6 +1790,67 @@ class PallasFullConv(PallasUVUConv):
               *C2s, *C2Ts, *wsel, gout)
             return outs[0], outs[1], outs[2], tuple(outs[3:])
 
+        grad2_kernel = self._grad2_fused_kernel()
+
+        def run_grad2(x_nodes, cx, shT, csh, wT2, cw, wsel, gout):
+            """One-pass (c_x, c_s, c_w, c_m, c_g) for the force-training
+            hot case — see _grad2_fused_kernel."""
+            gspec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),
+                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),
+                    pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0)),
+                    pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0)),
+                    edge_spec((J, T)),
+                    edge_spec((J, T)),
+                    edge_spec((P * mul, T)),
+                    edge_spec((P * mul, T)),
+                ] + [
+                    *[pl.BlockSpec(c.shape, lambda t, *_: (0, 0))
+                      for c in C2s],
+                    *[pl.BlockSpec(c.shape, lambda t, *_: (0, 0))
+                      for c in C2Ts],
+                ] + [
+                    pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
+                ] + [
+                    pl.BlockSpec((N, out_rows), lambda t, *_: (0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0)),  # c_x
+                    edge_spec((J, T)),                                 # c_s
+                    edge_spec((P * mul, T)),                           # c_w
+                ] + [
+                    pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
+                ] + [
+                    pl.BlockSpec((N, out_rows), lambda t, *_: (0, 0)),  # c_g
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((K2 * mul, W), cd),             # dwin
+                    pltpu.VMEM((K2 * mul, W), jnp.float32),    # accw
+                ],
+            )
+            out_shapes = [
+                jax.ShapeDtypeStruct((N, I * mul), jnp.float32),
+                jax.ShapeDtypeStruct((J, E), cd),
+                jax.ShapeDtypeStruct((P * mul, E), cd),
+            ] + [
+                jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wsel
+            ] + [
+                jax.ShapeDtypeStruct((N, out_rows), cd),
+            ]
+            outs = pl.pallas_call(
+                grad2_kernel,
+                grid_spec=gspec,
+                out_shape=out_shapes,
+                interpret=interpret,
+                **_compiler_params(interpret),
+            )(win0, tile_first, tile_last, srcl, dstl, x_nodes, cx,
+              shT, csh, wT2, cw, *C2s, *C2Ts, *wsel, gout)
+            return (outs[0], outs[1], outs[2], tuple(outs[3: 3 + len(wsel)]),
+                    outs[3 + len(wsel)])
+
         @jax.custom_vjp
         def g2(x_nodes, shT, wT2, wsel, gout):
             return run_bwd(x_nodes, shT, wT2, wsel, gout)
@@ -1574,6 +1891,18 @@ class PallasFullConv(PallasUVUConv):
                 else c.astype(cd)
                 for c, w in zip(cwsel, wsel)
             ) if have_m else None
+            if have_x and have_s and have_w and not have_m:
+                # force-training hot case: one fused kernel computes every
+                # cotangent sum (3 bwd + 3 fwd substituted calls collapse)
+                c_x, c_s, c_w, c_m, c_g = run_grad2(
+                    x_nodes, cx, shT, csh, wT2, cw, wsel, gout
+                )
+                return (
+                    c_x.astype(x_nodes.dtype), c_s.astype(shT.dtype),
+                    c_w.astype(wT2.dtype),
+                    tuple(c.astype(w.dtype) for c, w in zip(c_m, wsel)),
+                    c_g.astype(gout.dtype),
+                )
             # pairing rule: one substituted backward call per operand slot
             b1 = run_bwd(cx, shT, wT2, wsel, gout) if have_x else None
             b2 = run_bwd(x_nodes, csh, wT2, wsel, gout) if have_s else None

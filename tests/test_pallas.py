@@ -283,16 +283,18 @@ def test_second_order_conv_double_grad_matches():
         return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
                                      ).reshape(out.shape))
 
-    def force_loss(e_fn):
-        # inner grad = the "forces" (wrt sh and er, the position channels);
+    def force_loss(e_fn, argnums):
+        # inner grad = the "forces" (wrt the position channels; including
+        # x mimics the multi-layer chain where dx cotangents are live);
         # outer loss is a weighted sum over them, differentiated wrt params
         def f(fcp_, lp_, x_, er_, sh_):
-            g_er, g_sh = jax.grad(e_fn, argnums=(3, 4))(
-                fcp_, lp_, x_, er_, sh_
-            )
-            wa = jnp.cos(0.07 * jnp.arange(g_er.size)).reshape(g_er.shape)
-            wb = jnp.cos(0.03 * jnp.arange(g_sh.size)).reshape(g_sh.shape)
-            return jnp.sum(g_er * wa) + jnp.sum(g_sh * wb)
+            gs = jax.grad(e_fn, argnums=argnums)(fcp_, lp_, x_, er_, sh_)
+            tot = 0.0
+            for k, g in enumerate(gs):
+                w = jnp.cos((0.07 - 0.02 * k)
+                            * jnp.arange(g.size)).reshape(g.shape)
+                tot = tot + jnp.sum(g * w)
+            return tot
         return f
 
     # inner force values must match (pallas first-order vjp vs XLA)
@@ -303,14 +305,20 @@ def test_second_order_conv_double_grad_matches():
         denom = max(float(jnp.abs(b).max()), 1e-6)
         assert float(jnp.abs(a - b).max()) / denom < 2e-4
 
-    ga = jax.grad(force_loss(e_so), argnums=(0, 1, 2, 3))(fcp, lp, x, er, sh)
-    gref = jax.grad(force_loss(e_ref), argnums=(0, 1, 2, 3))(
-        fcp, lp, x, er, sh
-    )
-    for a, b in zip(jax.tree_util.tree_leaves(ga),
-                    jax.tree_util.tree_leaves(gref)):
-        denom = max(float(jnp.abs(b).max()), 1e-6)
-        assert float(jnp.abs(a - b).max()) / denom < 5e-4
+    # inner grad wrt (er, sh): the dx cotangent is symbolically zero, so
+    # g2_bwd takes the general substituted-calls path.  Inner grad wrt
+    # (x, er, sh): all three cotangents live -> the fused grad2 kernel.
+    for argnums in ((3, 4), (2, 3, 4)):
+        ga = jax.grad(force_loss(e_so, argnums), argnums=(0, 1, 2, 3))(
+            fcp, lp, x, er, sh
+        )
+        gref = jax.grad(force_loss(e_ref, argnums), argnums=(0, 1, 2, 3))(
+            fcp, lp, x, er, sh
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(ga),
+                        jax.tree_util.tree_leaves(gref)):
+            denom = max(float(jnp.abs(b).max()), 1e-6)
+            assert float(jnp.abs(a - b).max()) / denom < 5e-4, argnums
 
 
 def test_full_conv_extra_io_matches_separate_add():
