@@ -247,3 +247,62 @@ def test_segment_sum_static():
     out = segment_sum(x, seg, 4)
     assert out.shape == (4, 2)
     np.testing.assert_allclose(out[3], 0.0)
+
+
+def test_linear_grouped_lowering_matches_loop():
+    """The batched-by-degree Linear fast path is numerically identical to
+    the per-path loop (and actually engages on the standard layouts)."""
+    from equivariant_nn_zoo_tpu.ops.tensor_product import Linear
+
+    rng = np.random.default_rng(0)
+    cases = [
+        ("64x0e+64x0o+64x1e+64x1o+64x2e", "64x0e+64x0o+64x1e+64x1o+64x2e",
+         True),
+        # different muls per degree + dropped/zero slots
+        ("8x0e+8x0o+4x1o", "6x0e+6x0o+4x1o+2x2e", True),
+    ]
+    for ir_in, ir_out, biased in cases:
+        lin = Linear(ir_in, ir_out, biases=biased)
+        assert lin._lgroups is not None
+        params = {
+            k: jnp.asarray(rng.normal(size=shape).astype(np.float32))
+            for k, (shape, _) in lin.param_specs().items()
+        }
+        x = jnp.asarray(
+            rng.normal(size=(5, Linear(ir_in, ir_in).irreps_in.dim))
+            .astype(np.float32)
+        )
+        fast = lin._apply_grouped(params, x)
+        lin._lgroups = None
+        slow = lin.apply(params, x)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                   rtol=1e-6, atol=1e-6)
+
+    # repeated irreps (Concat-style input) are not a slot bijection:
+    # the plan must disable itself and the loop path take over
+    lin = Linear("4x0e+4x0e", "4x0e")
+    assert lin._lgroups is None
+
+
+def test_norm_activation_run_merging_matches_per_slot():
+    from equivariant_nn_zoo_tpu.ops.gate import NormActivation
+    from equivariant_nn_zoo_tpu.ops.irreps import Irreps
+
+    rng = np.random.default_rng(1)
+    ir = Irreps("16x0e+16x0o+8x1e+8x1o+4x2e")
+    na = NormActivation(ir, jax.nn.silu)
+    assert len(na._runs) == 3  # 0e+0o, 1e+1o, 2e merged by degree
+    x = jnp.asarray(rng.normal(size=(7, ir.dim)).astype(np.float32))
+    got = na(x)
+    # reference: slot-at-a-time
+    outs = []
+    ofs = 0
+    for mi in ir:
+        chunk = x[..., ofs: ofs + mi.dim].reshape(-1, mi.mul, mi.ir.dim)
+        norm = jnp.sqrt(jnp.sum(chunk * chunk, -1, keepdims=True) + 1e-24)
+        scale = na.act(norm) / norm
+        outs.append((chunk * scale).reshape(-1, mi.dim))
+        ofs += mi.dim
+    want = jnp.concatenate(outs, -1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
