@@ -8,12 +8,14 @@ from __future__ import annotations
 
 from typing import Dict
 
+import numpy as np
 import jax.numpy as jnp
 
 from .module import Module
 from ..ops.gate import NormActivation, resolve_activation
 from ..ops.irreps import Irreps
 from ..ops.tensor_product import Linear, TensorProduct
+from ..ops.wigner import wigner_3j
 
 
 class PointwiseLinear(Module):
@@ -113,9 +115,104 @@ class TensorProductExpansion(Module):
             "linear",
             Linear(self.irreps_mid.simplify(), irreps_out, biases=False),
         )
+        self._fuse_plan = self._build_fuse_plan()
+
+    def _build_fuse_plan(self):
+        """Mid-fused lowering plan for internal-weight all-uvu expansions.
+
+        ``expand`` = TP then mix-linear materializes the full mid tensor
+        ([N, sum_paths mul*d] — 83k columns for the l_max=4 hamiltonian
+        head) in HBM twice per differentiation level.  When the mix is a
+        slot bijection (simplified mid / unique output irreps), the linear
+        row-block of each TP path is known statically, so the mix can be
+        applied per path right after its CG contraction and accumulated
+        into the output — the mid never exists wider than one path."""
+        tp, lin = self.tp, self.linear
+        if not self.internal_weight:
+            return None
+        if not all(
+            ins.mode == "uvu" and ins.has_weight for ins in tp.instructions
+        ) or len(tp.instructions) <= 4:
+            return None
+        simplified = self.irreps_mid.simplify()
+        if len({mi.ir for mi in simplified}) != len(simplified):
+            return None
+        if len({mo.ir for mo in lin.irreps_out}) != len(lin.irreps_out):
+            return None
+        if lin.bias_slots:
+            return None
+        ii_of_ir = {mi.ir: i for i, mi in enumerate(simplified)}
+        io_of_ir = {mo.ir: i for i, mo in enumerate(lin.irreps_out)}
+        # rank: row offset of each tp mid slot inside its simplified block
+        rank, counter = {}, {}
+        for slot, mi in enumerate(tp.irreps_out):
+            rank[slot] = counter.get(mi.ir, 0)
+            counter[mi.ir] = rank[slot] + mi.mul
+        offs, ofs = [], 0
+        for ins in tp.instructions:
+            offs.append(ofs)
+            ofs += int(np.prod(tp._weight_shape(ins)))
+        groups: Dict = {}
+        for ins, o in zip(tp.instructions, offs):
+            ir3 = tp.irreps_out[ins.i_out].ir
+            groups.setdefault((ins.i_in1, ins.i_in2), []).append((
+                ins, o, rank[ins.i_out],
+                ii_of_ir[ir3], io_of_ir.get(ir3),
+            ))
+        return groups
+
+    def _expand_fused(self, params, left, right):
+        tp, lin = self.tp, self.linear
+        weight = params["tp"]["weight"]
+        lp = params["linear"]
+        slices1, slices2 = tp.irreps_in1.slices(), tp.irreps_in2.slices()
+        out_chunks: Dict[int, jnp.ndarray] = {}
+        for (i1, i2), items in self._fuse_plan.items():
+            mi1, mi2 = tp.irreps_in1[i1], tp.irreps_in2[i2]
+            mul1, d1 = mi1.mul, mi1.ir.dim
+            mul2, d2 = mi2.mul, mi2.ir.dim
+            a = left[..., slices1[i1]].reshape(left.shape[:-1] + (mul1, d1))
+            b = right[..., slices2[i2]].reshape(right.shape[:-1] + (mul2, d2))
+            W = jnp.stack([
+                weight[o: o + mul1 * mul2].reshape(mul1, mul2)
+                for _, o, _, _, _ in items
+            ])                                              # [L, u, v]
+            bw = jnp.einsum("...vj,Luv->...Luj", b, W)
+            for idx, (ins, _, rk, ii, io) in enumerate(items):
+                if io is None:
+                    continue  # mid irrep unused by the mix
+                mi3 = tp.irreps_out[ins.i_out]
+                c = jnp.asarray(
+                    wigner_3j(mi1.ir.l, mi2.ir.l, mi3.ir.l), dtype=left.dtype
+                ) * ins.path_weight
+                chunk = jnp.einsum(
+                    "...ui,...uj,ijk->...uk", a, bw[..., idx, :, :], c
+                )
+                wrow = lp[f"w{ii}_{io}"][rk: rk + mul1] * lin.alphas[io]
+                o_ = jnp.einsum("...uk,uw->...wk", chunk, wrow)
+                if io in out_chunks:
+                    out_chunks[io] = out_chunks[io] + o_
+                else:
+                    out_chunks[io] = o_
+        batch_shape = jnp.broadcast_shapes(left.shape[:-1], right.shape[:-1])
+        outs = []
+        for io, mo in enumerate(lin.irreps_out):
+            if io in out_chunks:
+                ch = out_chunks[io]
+                outs.append(jnp.broadcast_to(
+                    ch.reshape(ch.shape[:-2] + (mo.mul * mo.ir.dim,)),
+                    batch_shape + (mo.mul * mo.ir.dim,),
+                ))
+            else:
+                outs.append(jnp.zeros(
+                    batch_shape + (mo.mul * mo.ir.dim,), dtype=left.dtype
+                ))
+        return jnp.concatenate(outs, axis=-1)
 
     def expand(self, params, left, right, weight=None):
         """tp (+ external weights) then linear mix — the reference forward."""
+        if weight is None and self._fuse_plan is not None:
+            return self._expand_fused(params, left, right)
         mid = self.tp.apply(params["tp"], left, right, weight)
         return self.linear.apply(params["linear"], mid)
 

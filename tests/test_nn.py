@@ -249,3 +249,45 @@ def test_force_training_double_grad(small_batch):
     # at least some force-gradient signal reaches the conv weights
     total = sum(float(jnp.abs(g).sum()) for g in leaves)
     assert total > 0
+
+
+def test_tpe_mid_fused_expand_matches_tp_then_linear():
+    """Internal-weight uvu expansions skip the materialized mid tensor:
+    the fused per-path mix must equal tp-then-linear in values and grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from equivariant_nn_zoo_tpu.nn.pointwise import TensorProductExpansion
+
+    ir = "8x0e+8x0o+8x1e+8x1o+8x2e"
+    tpe = TensorProductExpansion(ir, ir, ir, "uvu")
+    assert tpe._fuse_plan is not None
+    params = tpe.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(3)
+    dim = tpe.tp.irreps_in1.dim
+    L = jnp.asarray(rng.normal(size=(5, dim)).astype(np.float32))
+    R = jnp.asarray(rng.normal(size=(5, dim)).astype(np.float32))
+
+    def slow(p):
+        mid = tpe.tp.apply(p["tp"], L, R)
+        return tpe.linear.apply(p["linear"], mid)
+
+    np.testing.assert_allclose(
+        np.asarray(tpe._expand_fused(params, L, R)), np.asarray(slow(params)),
+        rtol=2e-5, atol=2e-5,
+    )
+    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(tpe._expand_fused(p, L, R))))(
+        params
+    )
+    g2 = jax.grad(lambda p: jnp.sum(jnp.sin(slow(p))))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    # external-weight expansions (the conv path) must NOT take the plan
+    conv_like = TensorProductExpansion(
+        "8x0e+8x1o", "1x0e+1x1o", "8x0e+8x1o", "uvu", internal_weight=False
+    )
+    assert conv_like._fuse_plan is None
