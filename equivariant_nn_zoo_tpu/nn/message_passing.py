@@ -118,7 +118,7 @@ class FactorizedConvolution(Module):
             fused = os.environ.get("E3_FUSED", "1") == "1"
         self.fused_conv = None
         self.fused_sc = None
-        if fused and reduce:
+        if fused:
             try:
                 from ..ops.fused_tp import FusedScalarFCTP, FusedUVUConv
 
@@ -138,7 +138,7 @@ class FactorizedConvolution(Module):
                     pallas = os.environ.get("E3_PALLAS", "1") == "1"
                 self.fused_conv = None
                 self.full_conv = None
-                if pallas:
+                if pallas and reduce:
                     try:
                         import jax as _jax
 
@@ -282,22 +282,27 @@ class FactorizedConvolution(Module):
             )
         weight = self.fc.apply(params["fc"], edge_radial)
         if self.fused_conv is not None:
+            # the unfused reduce=False path applies no neighbor-count
+            # normalization (see below); mirror that for parity
             pre = (
                 1.0 / (self.avg_num_neighbors ** 0.5)
-                if self.avg_num_neighbors is not None
+                if self.avg_num_neighbors is not None and self.reduce
                 else None
             )
             out = self.fused_conv(
                 tp_params["linear"], x, edge_src, edge_dst,
                 data["edge_spherical"], weight, x.shape[0], pre_scale=pre,
+                reduce=self.reduce,
             )
             if self.use_sc:
                 out = out + sc
             is_per = attrs["input_features"][0]
             return (
                 {"output_features": out},
-                {"output_features": (is_per,
-                                     self.irreps_out["output_features"])},
+                {"output_features": (
+                    is_per if not self.reduce else "node",
+                    self.irreps_out["output_features"],
+                )},
             )
         edge_mid = self.tp.tp.apply(
             tp_params["tp"], x[edge_src], data["edge_spherical"], weight

@@ -190,9 +190,14 @@ class FusedUVUConv:
 
     def __call__(self, linear_params, x, edge_src, edge_dst, sh, weight,
                  num_nodes: int, pre_scale: Optional[float] = None,
-                 out_dtype=jnp.float32):
+                 out_dtype=jnp.float32, reduce: bool = True):
         """x [N, in_dim] (node features, already linear_1'd), sh [E, J],
         weight [E, weight_numel] -> node-accumulated mix output [N, out_dim].
+
+        ``reduce=False`` skips the edge->node segment sum and returns the
+        per-edge mixed output [E, out_dim] (the Pairwise head's neighbor
+        convolution, reference e3_layers/nn/output.py:77-164 via
+        FactorizedConvolution(reduce=False)); ``edge_dst`` is unused then.
         """
         cd = self.compute_dtype
         E = sh.shape[0]
@@ -257,6 +262,8 @@ class FusedUVUConv:
         edge_out = jnp.concatenate(outs, axis=-1)
         if pre_scale is not None:
             edge_out = edge_out * pre_scale
+        if not reduce:
+            return edge_out.astype(out_dtype)
         edge_out = edge_out.astype(cd)
         out = segment_sum(edge_out, edge_dst, num_nodes)
         return out.astype(out_dtype)

@@ -80,3 +80,26 @@ def test_fused_gradients_match():
                     jax.tree_util.tree_leaves(g2)):
         denom = max(float(jnp.abs(b).max()), 1e-6)
         assert float(jnp.abs(a - b).max()) / denom < 1e-4
+
+
+def test_fused_reduce_false_matches_unfused():
+    """The Pairwise head's per-edge conv (reduce=False) now rides the fused
+    MXU path; it must match the per-path einsum path on the edge output."""
+    kw = dict(KW, use_sc=False, node_attrs=None, avg_num_neighbors=1,
+              reduce=False)
+    conv_f = FactorizedConvolution(**kw, fused=True, compute_dtype="float32")
+    conv_u = FactorizedConvolution(**kw, fused=False)
+    assert conv_f.fused_conv is not None
+    params = conv_f.init(jax.random.PRNGKey(0))
+    data = make_data(conv_f)
+    data.pop("node_attrs")
+    attrs = {"input_features": ("node", kw["input_features"])}
+    out_f, af = conv_f.apply(params, dict(data), dict(attrs))
+    out_u, au = conv_u.apply(params, dict(data), dict(attrs))
+    assert out_f["output_features"].shape[0] == data["edge_radial"].shape[0]
+    assert af == au
+    np.testing.assert_allclose(
+        np.asarray(out_f["output_features"]),
+        np.asarray(out_u["output_features"]),
+        rtol=2e-4, atol=2e-4,
+    )
