@@ -49,3 +49,31 @@ class FullyConnectedNet:
             if i < n - 1:
                 x = self.act(x).astype(cd)
         return x
+
+    def apply_T(self, params, xT: jnp.ndarray, compute_dtype=None
+                ) -> jnp.ndarray:
+        """Transposed evaluation: xT [dims[0], E] -> [dims[-1], E].
+
+        Same math as ``apply`` on the transpose, but every intermediate
+        keeps the wide batch axis minor — on TPU this tiles the lane
+        dimension with E instead of the tiny hidden width, and (the point
+        for the grad_order=2 conv) the consumer needs the [ncols, E]
+        layout, so no [E, ncols] <-> [ncols, E] transpose ever
+        materializes across the double-differentiation chain."""
+        import os
+
+        if compute_dtype is None:
+            compute_dtype = os.environ.get("E3_COMPUTE_DTYPE", "bfloat16")
+        cd = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[str(compute_dtype)]
+        n = len(self.dims) - 1
+        h = xT.astype(cd)
+        for i in range(n):
+            w = params[f"w{i}"] / (float(self.dims[i]) ** 0.5)
+            h = jax.lax.dot_general(
+                w.astype(cd), h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if i < n - 1:
+                h = self.act(h).astype(cd)
+        return h

@@ -57,11 +57,22 @@ class LayerNormalization(Module):
     def apply(self, params, data: Dict, attrs: Dict):
         x = data["input"]
         outs = []
-        for i, (sl, mul) in enumerate(zip(self.irreps.slices(), self.muls)):
-            tmp = x[:, sl]
+        # consecutive slots of equal (mul, dim) batch into one chunk —
+        # the norm is per (node, slot), so equal widths suffice
+        runs = []
+        ofs = 0
+        for i, mi in enumerate(self.irreps):
+            if runs and runs[-1][2] == mi.dim and runs[-1][3] == mi.mul:
+                runs[-1][1] += 1
+            else:
+                runs.append([i, 1, mi.dim, mi.mul, ofs])
+            ofs += mi.dim
+        for i0, S, dim, mul, c0 in runs:
+            tmp = x[:, c0: c0 + S * dim].reshape(x.shape[0], S, dim)
             norm = jnp.sum(tmp * tmp, axis=-1, keepdims=True)
             norm = jnp.sqrt(norm / mul + 1e-6)
-            outs.append(tmp / norm * params["std"][i])
+            out = tmp / norm * params["std"][i0: i0 + S][None, :, None]
+            outs.append(out.reshape(x.shape[0], S * dim))
         return {"output": jnp.concatenate(outs, axis=-1)}, dict(attrs)
 
 

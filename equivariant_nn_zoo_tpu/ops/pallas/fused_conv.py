@@ -1985,13 +1985,16 @@ class PallasFullConv(PallasUVUConv):
 
         x_nodes = self._prep_x_nodes(x, num_nodes)
         shT = jnp.transpose(sh, (1, 0)).astype(cd)
-        w_edge = self.fc.apply(
-            fc_params, edge_radial,
-            compute_dtype=str(np.dtype(cd)),
-        )                                        # [E, P_tpe*mul]
-        wT2 = jnp.transpose(
-            w_edge[:, self._wcol_perm2], (1, 0)
-        ).astype(cd)                             # [P*mul, E], _p2 row order
+        # transposed radial MLP: every intermediate keeps E minor, and the
+        # [P*mul, E] operand comes out directly as a major-axis row gather —
+        # the [E, ncols] <-> [ncols, E] transpose (and its adjoint/tangent
+        # instances at every differentiation level) used to cost ~10 ms of
+        # the force step
+        erT = jnp.transpose(edge_radial, (1, 0))         # [nb, E] (tiny)
+        wT_full = self.fc.apply_T(
+            fc_params, erT, compute_dtype=str(np.dtype(cd)),
+        )                                        # [P_tpe*mul, E]
+        wT2 = wT_full[self._wcol_perm2, :].astype(cd)    # _p2 row order
         wsel = tuple(self._prep_wsel2(linear_params))
         if pre_scale is not None:
             wsel = tuple(w * pre_scale for w in wsel)
