@@ -188,6 +188,33 @@ class Pairwise(Module):
             "res_res_off", ResBlock(irreps_in, irreps_out)
         )
 
+        # Pallas fused expansion for the two uvu TPs (the hamiltonian-head
+        # hot loop).  tp and tp_off share one kernel instance (identical
+        # structure, per-call params).  First-order only (custom VJP) —
+        # matrix-output heads are never position-differentiated.
+        import os
+
+        self._pairwise_kernel = None
+        force = os.environ.get("E3_PALLAS_PAIRWISE", "") == "force"
+        if os.environ.get("E3_PALLAS", "1") == "1":
+            try:
+                import jax as _jax
+
+                if force or _jax.default_backend() == "tpu":
+                    import jax.numpy as _jnp
+
+                    from ..ops.pallas.pairwise import PallasPairwiseTP
+
+                    cd = dict(bfloat16=_jnp.bfloat16, float32=_jnp.float32)[
+                        os.environ.get("E3_COMPUTE_DTYPE", "bfloat16")
+                    ]
+                    self._pairwise_kernel = PallasPairwiseTP(
+                        self.tp, compute_dtype=cd,
+                        tile=16 if force else None,
+                    )
+            except Exception:
+                self._pairwise_kernel = None
+
     def apply(self, params, data: Dict, attrs: Dict):
         node_features = data["node_features"]
         edge_index = data["edge_index"]
@@ -202,20 +229,22 @@ class Pairwise(Module):
             out, _ = self.conv.apply(params["conv"], conv_in, conv_attrs)
             neighbor = out["output_features"]
         center = node_features[dst]
-        off = self.tp_off.expand(
-            params["tp_off"],
-            self.res_center_off.block(params["res_center_off"], center),
-            neighbor,
-        )
+        expand = (self._pairwise_kernel if self._pairwise_kernel is not None
+                  else None)
+        off_left = self.res_center_off.block(params["res_center_off"], center)
+        if expand is not None:
+            off = expand(params["tp_off"], off_left, neighbor)
+        else:
+            off = self.tp_off.expand(params["tp_off"], off_left, neighbor)
         off = self.res_pair_off.block(params["res_pair_off"], off)
         off = self.res_res_off.block(params["res_res_off"], center) + off
 
         center = node_features
-        diag = self.tp.expand(
-            params["tp"],
-            self.res_center.block(params["res_center"], center),
-            center,
-        )
+        diag_left = self.res_center.block(params["res_center"], center)
+        if expand is not None:
+            diag = expand(params["tp"], diag_left, center)
+        else:
+            diag = self.tp.expand(params["tp"], diag_left, center)
         diag = self.res_pair.block(params["res_pair"], diag)
         diag = self.res_res.block(params["res_res"], center) + diag
 
