@@ -385,45 +385,77 @@ class PallasPairwiseTP:
             bw = bwT[...]
             wT = wselT_all[...]
             C2 = C2all[...]
-            mids = [self._mid_of(a, bw, C2, si)
-                    for si in range(len(self._secs))]
-            outs = []
-            for g, mx in enumerate(mix):
-                d, Wg = mx["d"], mx["Wg"]
-                for dd in range(d):
-                    acc = None
-                    for ent in mx["secs"]:
-                        npg = ent["npg"]
-                        r0 = (ent["k0"] - self._secs[ent["si"]]["k0"]
-                              + dd * npg) * mul
-                        blk = mids[ent["si"]][r0: r0 + npg * mul, :]
-                        wt = wT[:Wg, ent["col0"]: ent["col0"] + npg * mul]
+            # stream sections: one small mid at a time, accumulated straight
+            # into the per-(group, component) output rows (the full
+            # [K2*mul, T] intermediate never exists)
+            acc = jnp.zeros((self.out_rows, T), jnp.float32)
+            for si, sm in enumerate(self._secs):
+                mid = self._mid_of(a, bw, C2, si)
+                for g in sorted(sm["gq"]):
+                    mx = mix[g]
+                    ent = next(e for e in mx["secs"] if e["si"] == si)
+                    npg, Wg = ent["npg"], mx["Wg"]
+                    wt = wT[:Wg, ent["col0"]: ent["col0"] + npg * mul]
+                    for dd in range(mx["d"]):
+                        r0 = (ent["k0"] - sm["k0"] + dd * npg) * mul
                         o = jax.lax.dot_general(
-                            wt, blk,
+                            wt, mid[r0: r0 + npg * mul, :],
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
-                        acc = o if acc is None else acc + o
-                    outs.append(acc.astype(cd))
-            out[...] = jnp.concatenate(outs, axis=0)
+                        row = mx["out_row"] + dd * Wg
+                        acc = acc.at[row: row + Wg, :].add(o)
+            out[...] = acc.astype(cd)
 
         return kernel
 
-    def _bwd_kernel(self):
+    def _douter_of(self, ws, go, C2T, si):
+        """Per-section cotangent of the outer rows: the mix backward (dmid
+        blocks from the stacked wsel and the output cotangent) followed by
+        the adjoint CG matmul."""
         mul, T = self.mul, self.tile
         cd = self.compute_dtype
-        mix = self._mix
+        sm = self._secs[si]
+        dmid_blocks = []
+        for g in sorted(sm["gq"]):
+            mx = self._mix[g]
+            ent = next(e for e in mx["secs"] if e["si"] == si)
+            npg, Wg = ent["npg"], mx["Wg"]
+            ws_blk = ws[ent["col0"]: ent["col0"] + npg * mul, :Wg]
+            for dd in range(mx["d"]):
+                go_blk = go[mx["out_row"] + dd * Wg:
+                            mx["out_row"] + (dd + 1) * Wg, :]
+                dmid_blocks.append(jax.lax.dot_general(
+                    ws_blk, go_blk,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(cd))                            # [npg*mul, T]
+        dmid = jnp.concatenate(dmid_blocks, axis=0)
+        if sm["K8"] > sm["used"]:
+            dmid = jnp.concatenate([
+                dmid, jnp.zeros(((sm["K8"] - sm["used"]) * mul, T), cd),
+            ], axis=0)
+        dmid = dmid.reshape(sm["K8"], mul * T)
+        return jax.lax.dot_general(
+            C2T[si, : sm["rows"], : sm["K8"]].astype(cd), dmid,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)                                     # [L*d2*d1, mul*T]
+
+    def _bwd_kernel_da(self):
+        """Pass 1: daT + dwsel (the two legs that need bwT in VMEM)."""
+        mul, T = self.mul, self.tile
         I = self.I_dim
         import jax.experimental.pallas as pl
 
         def kernel(aT, bwT, wsel_all, C2all, C2Tall, gout,
-                   daT, dbwT, dwsel_ref):
+                   daT, dwsel_ref):
             a = aT[...]
             bw = bwT[...]
             ws = wsel_all[...]
             C2 = C2all[...]
             C2T = C2Tall[...]
-            go = gout[...].astype(cd)
+            go = gout[...].astype(self.compute_dtype)
             first_tile = pl.program_id(0) == 0
 
             da = jnp.zeros((I, mul * T), jnp.float32)
@@ -432,31 +464,22 @@ class PallasPairwiseTP:
                 d1, d2 = sm["d1"], sm["d2"]
                 L = len(sm["plist"])
                 mid = self._mid_of(a, bw, C2, si)        # [K8*mul, T]
-                # mix backward per (g, dd) block of this section
-                dmid_blocks = []
                 for g in sorted(sm["gq"]):
                     mx = self._mix[g]
                     ent = next(e for e in mx["secs"] if e["si"] == si)
-                    npg, Wg, d3 = ent["npg"], mx["Wg"], mx["d"]
-                    ws_blk = ws[ent["col0"]: ent["col0"] + npg * mul, :Wg]
+                    npg, Wg = ent["npg"], mx["Wg"]
                     dws_acc = None
-                    for dd in range(d3):
+                    for dd in range(mx["d"]):
                         go_blk = go[mx["out_row"] + dd * Wg:
                                     mx["out_row"] + (dd + 1) * Wg, :]
                         r0 = (ent["k0"] - sm["k0"] + dd * npg) * mul
-                        w3 = mid[r0: r0 + npg * mul, :]
                         contrib = jax.lax.dot_general(
-                            w3, go_blk,
+                            mid[r0: r0 + npg * mul, :], go_blk,
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )                                # [npg*mul, Wg]
                         dws_acc = (contrib if dws_acc is None
                                    else dws_acc + contrib)
-                        dmid_blocks.append(jax.lax.dot_general(
-                            ws_blk, go_blk,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ).astype(cd))                    # [npg*mul, T]
                     if dws_acc.shape[1] < self.Wmax:
                         dws_acc = jnp.concatenate([
                             dws_acc,
@@ -465,27 +488,12 @@ class PallasPairwiseTP:
                                       jnp.float32),
                         ], axis=1)
                     dws_parts.append(dws_acc)
-                dmid = jnp.concatenate(dmid_blocks, axis=0)
-                if sm["K8"] > sm["used"]:
-                    dmid = jnp.concatenate([
-                        dmid,
-                        jnp.zeros(((sm["K8"] - sm["used"]) * mul, T), cd),
-                    ], axis=0)
-                dmid = dmid.reshape(sm["K8"], mul * T)
-                douter = jax.lax.dot_general(
-                    C2T[si, : sm["rows"], : sm["K8"]].astype(cd), dmid,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(cd)                             # [L*d2*d1, mul*T]
+                douter = self._douter_of(ws, go, C2T, si)
                 do3 = douter.reshape(L * d2, d1, mul * T)
-                a_slc = a[sm["i0"]: sm["i0"] + d1, :]
                 bw_blk = bw[sm["bw0"]: sm["bw0"] + L * d2, :]
                 da = da.at[sm["i0"]: sm["i0"] + d1, :].add(
                     jnp.sum(do3 * bw_blk[:, None, :], axis=0)
                 )
-                dbwT[sm["bw0"]: sm["bw0"] + L * d2, :] = jnp.sum(
-                    do3 * a_slc[None, :, :], axis=1
-                ).astype(dbwT.dtype)
             daT[...] = da.astype(daT.dtype)
             dws_all = jnp.concatenate(dws_parts, axis=0)
 
@@ -499,6 +507,30 @@ class PallasPairwiseTP:
 
         return kernel
 
+    def _bwd_kernel_dbw(self):
+        """Pass 2: dbwT only — needs aT but never bwT, so the two big
+        per-tile operands (bwT in, dbwT out) are split across passes and
+        each pass stays within the scoped-VMEM budget at the hamiltonian
+        head's full size."""
+        mul, T = self.mul, self.tile
+
+        def kernel(aT, wsel_all, C2Tall, gout, dbwT):
+            a = aT[...]
+            ws = wsel_all[...]
+            C2T = C2Tall[...]
+            go = gout[...].astype(self.compute_dtype)
+            for si, sm in enumerate(self._secs):
+                d1, d2 = sm["d1"], sm["d2"]
+                L = len(sm["plist"])
+                douter = self._douter_of(ws, go, C2T, si)
+                do3 = douter.reshape(L * d2, d1, mul * T)
+                a_slc = a[sm["i0"]: sm["i0"] + d1, :]
+                dbwT[sm["bw0"]: sm["bw0"] + L * d2, :] = jnp.sum(
+                    do3 * a_slc[None, :, :], axis=1
+                ).astype(dbwT.dtype)
+
+        return kernel
+
     # -------------------------------------------------------------- pallas op
     @functools.cached_property
     def _pallas_fn(self):
@@ -508,7 +540,8 @@ class PallasPairwiseTP:
         cd = self.compute_dtype
         out_rows = self.out_rows
         fwd_kernel = self._fwd_kernel()
-        bwd_kernel = self._bwd_kernel()
+        bwd_kernel_da = self._bwd_kernel_da()
+        bwd_kernel_dbw = self._bwd_kernel_dbw()
         interpret = _use_interpret()
 
         def run_fwd(aT, bwT, wselT_all):
@@ -533,33 +566,43 @@ class PallasPairwiseTP:
         def run_bwd(aT, bwT, wsel_all, gout):
             Mp = aT.shape[1] // mul
             grid = (Mp // T,)
-            in_specs = [
-                pl.BlockSpec((I, T * mul), lambda t: (0, t)),
-                pl.BlockSpec((R, T * mul), lambda t: (0, t)),
-                pl.BlockSpec(wsel_all.shape, lambda t: (0, 0)),
-                pl.BlockSpec(self._C2all.shape, lambda t: (0, 0, 0)),
-                pl.BlockSpec(self._C2Tall.shape, lambda t: (0, 0, 0)),
-                pl.BlockSpec((out_rows, T), lambda t: (0, t)),
-            ]
-            out_shapes = [
-                jax.ShapeDtypeStruct((I, Mp * mul), cd),
-                jax.ShapeDtypeStruct((R, Mp * mul), cd),
-                jax.ShapeDtypeStruct(wsel_all.shape, jnp.float32),
-            ]
-            out_specs = [
-                pl.BlockSpec((I, T * mul), lambda t: (0, t)),
-                pl.BlockSpec((R, T * mul), lambda t: (0, t)),
-                pl.BlockSpec(wsel_all.shape, lambda t: (0, 0)),
-            ]
-            return pl.pallas_call(
-                bwd_kernel,
+            daT, dwsel = pl.pallas_call(
+                bwd_kernel_da,
                 grid=grid,
-                in_specs=in_specs,
-                out_specs=out_specs,
-                out_shape=out_shapes,
+                in_specs=[
+                    pl.BlockSpec((I, T * mul), lambda t: (0, t)),
+                    pl.BlockSpec((R, T * mul), lambda t: (0, t)),
+                    pl.BlockSpec(wsel_all.shape, lambda t: (0, 0)),
+                    pl.BlockSpec(self._C2all.shape, lambda t: (0, 0, 0)),
+                    pl.BlockSpec(self._C2Tall.shape, lambda t: (0, 0, 0)),
+                    pl.BlockSpec((out_rows, T), lambda t: (0, t)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((I, T * mul), lambda t: (0, t)),
+                    pl.BlockSpec(wsel_all.shape, lambda t: (0, 0)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((I, Mp * mul), cd),
+                    jax.ShapeDtypeStruct(wsel_all.shape, jnp.float32),
+                ],
                 interpret=interpret,
                 **_compiler_params(interpret),
             )(aT, bwT, wsel_all, self._C2all, self._C2Tall, gout)
+            dbwT = pl.pallas_call(
+                bwd_kernel_dbw,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((I, T * mul), lambda t: (0, t)),
+                    pl.BlockSpec(wsel_all.shape, lambda t: (0, 0)),
+                    pl.BlockSpec(self._C2Tall.shape, lambda t: (0, 0, 0)),
+                    pl.BlockSpec((out_rows, T), lambda t: (0, t)),
+                ],
+                out_specs=pl.BlockSpec((R, T * mul), lambda t: (0, t)),
+                out_shape=jax.ShapeDtypeStruct((R, Mp * mul), cd),
+                interpret=interpret,
+                **_compiler_params(interpret),
+            )(aT, wsel_all, self._C2Tall, gout)
+            return daT, dbwT, dwsel
 
         @jax.custom_vjp
         def f(aT, bwT, wselT_all, wsel_all):
