@@ -15,7 +15,9 @@ This kernel computes the whole expansion tile-wise in VMEM:
         kernel sees bw_p[u, j] = sum_v w_p[u, v] b[v, j]) — one matmul per
         right-irrep slot, rows stacked (i2, i1, path, j).
     kernel, per element tile (minor layout (u, e) like the conv kernels):
-        outer[(p,j,i), (u,e)] = bw[(p,j)] * a[i]     (VPU, per (i1,i2) pair)
+        outer[(i,p,j), (u,e)] = a[i] * bw[(p,j)]     (VPU, d1 row-broadcast
+                                                      multiplies per (i1,i2)
+                                                      pair — all 2-D ops)
         mid_s = C2_s @ outer_s                       (one MXU matmul per
                                                       pair-section; C2 is the
                                                       static CG operator with
@@ -196,11 +198,15 @@ class PallasPairwiseTP:
                     l3 = mid_irreps[ins.i_out].ir.l
                     cg = wigner_3j(l1, l2, l3) * ins.path_weight  # [d1,d2,d3]
                     npg = len(sm["gq"][g])
+                    L = len(sm["plist"])
                     for dd in range(d3):
                         row = k + dd * npg + m
                         for j in range(d2):
                             for i in range(d1):
-                                col = (qcol[q] * d2 + j) * d1 + i
+                                # outer rows are i-major: (i, path q, j) —
+                                # the kernel builds them as d1 2-D
+                                # row-broadcast multiplies (no rank-3 ops)
+                                col = i * (L * d2) + qcol[q] * d2 + j
                                 C[row, col] += cg[i, j, dd]
                 k += len(sm["gq"][g]) * d3
             self._C2s.append(C)
@@ -362,11 +368,11 @@ class PallasPairwiseTP:
         sm = self._secs[si]
         d1, d2 = sm["d1"], sm["d2"]
         L = len(sm["plist"])
-        a_slc = a[sm["i0"]: sm["i0"] + d1, :]            # [d1, mul*T]
         bw_blk = bw[sm["bw0"]: sm["bw0"] + L * d2, :]    # [L*d2, mul*T]
-        outer = (bw_blk[:, None, :] * a_slc[None, :, :]).reshape(
-            L * d2 * d1, mul * T
-        )
+        outer = jnp.concatenate([
+            a[sm["i0"] + i: sm["i0"] + i + 1, :] * bw_blk
+            for i in range(d1)
+        ], axis=0)                                       # [(i,q,j), mul*T]
         C = C2[si, : sm["K8"], : sm["rows"]]
         mid = jax.lax.dot_general(
             C.astype(cd), outer,
@@ -386,9 +392,10 @@ class PallasPairwiseTP:
             wT = wselT_all[...]
             C2 = C2all[...]
             # stream sections: one small mid at a time, accumulated straight
-            # into the per-(group, component) output rows (the full
-            # [K2*mul, T] intermediate never exists)
-            acc = jnp.zeros((self.out_rows, T), jnp.float32)
+            # into per-(group, component) blocks (the full [K2*mul, T]
+            # intermediate never exists); one concat writes the output in
+            # row order — no strided stores
+            acc: Dict = {}
             for si, sm in enumerate(self._secs):
                 mid = self._mid_of(a, bw, C2, si)
                 for g in sorted(sm["gq"]):
@@ -403,9 +410,11 @@ class PallasPairwiseTP:
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
-                        row = mx["out_row"] + dd * Wg
-                        acc = acc.at[row: row + Wg, :].add(o)
-            out[...] = acc.astype(cd)
+                        key = (g, dd)
+                        acc[key] = o if key not in acc else acc[key] + o
+            outs = [acc[(g, dd)].astype(cd)
+                    for g, mx in enumerate(mix) for dd in range(mx["d"])]
+            out[...] = jnp.concatenate(outs, axis=0)
 
         return kernel
 
@@ -458,7 +467,7 @@ class PallasPairwiseTP:
             go = gout[...].astype(self.compute_dtype)
             first_tile = pl.program_id(0) == 0
 
-            da = jnp.zeros((I, mul * T), jnp.float32)
+            da_acc: Dict = {}                            # i1 slot -> [d1, X]
             dws_parts = []
             for si, sm in enumerate(self._secs):
                 d1, d2 = sm["d1"], sm["d2"]
@@ -488,13 +497,24 @@ class PallasPairwiseTP:
                                       jnp.float32),
                         ], axis=1)
                     dws_parts.append(dws_acc)
-                douter = self._douter_of(ws, go, C2T, si)
-                do3 = douter.reshape(L * d2, d1, mul * T)
+                douter = self._douter_of(ws, go, C2T, si)  # [(i,q,j), X]
                 bw_blk = bw[sm["bw0"]: sm["bw0"] + L * d2, :]
-                da = da.at[sm["i0"]: sm["i0"] + d1, :].add(
-                    jnp.sum(do3 * bw_blk[:, None, :], axis=0)
-                )
-            daT[...] = da.astype(daT.dtype)
+                contrib = jnp.concatenate([
+                    jnp.sum(douter[i * L * d2: (i + 1) * L * d2, :] * bw_blk,
+                            axis=0, keepdims=True)
+                    for i in range(d1)
+                ], axis=0)                               # [d1, X]
+                i1 = sm["i1"]
+                da_acc[i1] = (contrib if i1 not in da_acc
+                              else da_acc[i1] + contrib)
+            # assemble daT in irreps_a slot order (contiguous rows)
+            da_rows = []
+            for i1 in range(len(self.irreps_a)):
+                d1 = self.irreps_a[i1].ir.dim
+                da_rows.append(da_acc.get(
+                    i1, jnp.zeros((d1, mul * T), jnp.float32)
+                ))
+            daT[...] = jnp.concatenate(da_rows, axis=0).astype(daT.dtype)
             dws_all = jnp.concatenate(dws_parts, axis=0)
 
             @pl.when(first_tile)
@@ -519,15 +539,18 @@ class PallasPairwiseTP:
             ws = wsel_all[...]
             C2T = C2Tall[...]
             go = gout[...].astype(self.compute_dtype)
+            blocks = []  # sections enumerate bw rows contiguously in order
             for si, sm in enumerate(self._secs):
                 d1, d2 = sm["d1"], sm["d2"]
                 L = len(sm["plist"])
-                douter = self._douter_of(ws, go, C2T, si)
-                do3 = douter.reshape(L * d2, d1, mul * T)
-                a_slc = a[sm["i0"]: sm["i0"] + d1, :]
-                dbwT[sm["bw0"]: sm["bw0"] + L * d2, :] = jnp.sum(
-                    do3 * a_slc[None, :, :], axis=1
-                ).astype(dbwT.dtype)
+                douter = self._douter_of(ws, go, C2T, si)  # [(i,q,j), X]
+                dbw = None
+                for i in range(d1):
+                    t = (douter[i * L * d2: (i + 1) * L * d2, :]
+                         * a[sm["i0"] + i: sm["i0"] + i + 1, :])
+                    dbw = t if dbw is None else dbw + t
+                blocks.append(dbw)
+            dbwT[...] = jnp.concatenate(blocks, axis=0).astype(dbwT.dtype)
 
         return kernel
 
