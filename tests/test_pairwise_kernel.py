@@ -134,3 +134,23 @@ def test_pairwise_head_kernel_matches_xla(monkeypatch):
                       jax.tree_util.tree_leaves(gb)):
         denom = max(float(jnp.abs(va).max()), 1e-6)
         assert float(jnp.abs(va - vb).max()) / denom < 1e-4
+
+
+def test_pairwise_bf16_within_training_tolerance():
+    """Production runs the kernel in bfloat16 (f32 matmul accumulation);
+    structural casting bugs show up far above honest bf16 rounding."""
+    tpe, _, params, a, b = make(*SPECS[0], seed=4)
+    kern16 = PallasPairwiseTP(tpe, compute_dtype=jnp.bfloat16, tile=16)
+    ref = tpe.expand(params, a, b)
+    out = kern16(params, a, b)
+    scale = float(jnp.abs(ref).max())
+    rel = float(jnp.abs(out - ref).max()) / scale
+    assert rel < 3e-2, rel
+
+    def loss(o):
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    ga = jax.grad(lambda a_: loss(kern16(params, a_, b)))(a)
+    gb = jax.grad(lambda a_: loss(tpe.expand(params, a_, b)))(a)
+    rel = float(jnp.abs(ga - gb).max()) / max(float(jnp.abs(gb).max()), 1e-6)
+    assert rel < 5e-2, rel
