@@ -118,6 +118,7 @@ class FactorizedConvolution(Module):
             fused = os.environ.get("E3_FUSED", "1") == "1"
         self.fused_conv = None
         self.fused_sc = None
+        self.edge_conv = None
         if fused:
             try:
                 from ..ops.fused_tp import FusedScalarFCTP, FusedUVUConv
@@ -138,6 +139,22 @@ class FactorizedConvolution(Module):
                     pallas = os.environ.get("E3_PALLAS", "1") == "1"
                 self.fused_conv = None
                 self.full_conv = None
+                self.edge_conv = None
+                if pallas and not reduce and self.grad_order < 2:
+                    # per-edge-output conv (the Pairwise head's neighbor
+                    # conv): the v1 kernel minus the segment sum.  Used at
+                    # apply time when the edge capacity is tile-aligned.
+                    try:
+                        import jax as _jax
+
+                        from ..ops.pallas.fused_conv import PallasUVUConv
+
+                        if _jax.default_backend() == "tpu":
+                            self.edge_conv = PallasUVUConv(
+                                self.tp, compute_dtype=cd
+                            )
+                    except Exception:
+                        self.edge_conv = None
                 if pallas and reduce:
                     try:
                         import jax as _jax
@@ -289,7 +306,11 @@ class FactorizedConvolution(Module):
                 if self.avg_num_neighbors is not None and self.reduce
                 else None
             )
-            out = self.fused_conv(
+            conv = self.fused_conv
+            if (self.edge_conv is not None
+                    and edge_src.shape[0] % self.edge_conv.tile == 0):
+                conv = self.edge_conv
+            out = conv(
                 tp_params["linear"], x, edge_src, edge_dst,
                 data["edge_spherical"], weight, x.shape[0], pre_scale=pre,
                 reduce=self.reduce,

@@ -465,8 +465,11 @@ class PallasUVUConv(FusedUVUConv):
 
     # ------------------------------------------------------------- interface
     def __call__(self, linear_params, x, edge_src, edge_dst, sh, weight,
-                 num_nodes: int, pre_scale=None, out_dtype=jnp.float32):
-        """Same contract as FusedUVUConv.__call__ (message_passing.py)."""
+                 num_nodes: int, pre_scale=None, out_dtype=jnp.float32,
+                 reduce: bool = True):
+        """Same contract as FusedUVUConv.__call__ (message_passing.py);
+        ``reduce=False`` returns the per-edge mixed output (the Pairwise
+        head's neighbor conv, reference e3_layers/nn/output.py:77-164)."""
         from ..segment import segment_sum
 
         cd = self.compute_dtype
@@ -488,6 +491,8 @@ class PallasUVUConv(FusedUVUConv):
         edge_out = jnp.take(outT, self._col_src, axis=0).T  # [E, out_dim]
         if pre_scale is not None:
             edge_out = edge_out * pre_scale
+        if not reduce:
+            return edge_out.astype(out_dtype)
         edge_out = edge_out.astype(cd)
         out = segment_sum(edge_out, edge_dst, num_nodes)
         return out.astype(out_dtype)

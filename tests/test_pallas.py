@@ -394,3 +394,30 @@ def test_full_conv_sh0_const_matches():
                     jax.tree_util.tree_leaves(gb_)):
         denom = max(float(jnp.abs(v).max()), 1e-6)
         assert float(jnp.abs(u - v).max()) / denom < 2e-4
+
+
+def test_pallas_reduce_false_matches_fused():
+    """Per-edge-output mode (the Pairwise head's neighbor conv): the v1
+    kernel minus the segment sum must match the XLA fused edge output,
+    values and gradients."""
+    fused, pallas, lp, x, src, dst, sh, w, N = setup(seed=3)
+    a = pallas(lp, x, src, dst, sh, w, N, reduce=False)
+    b = fused(lp, x, src, dst, sh, w, N, reduce=False)
+    assert a.shape == b.shape
+    rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+    assert rel < 1e-5, rel
+
+    def loss(conv, lp_, x_, sh_, w_):
+        out = conv(lp_, x_, src, dst, sh_, w_, N, reduce=False)
+        return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape)))
+
+    ga = jax.grad(lambda *z: loss(pallas, *z), argnums=(0, 1, 2, 3))(
+        lp, x, sh, w
+    )
+    gb = jax.grad(lambda *z: loss(fused, *z), argnums=(0, 1, 2, 3))(
+        lp, x, sh, w
+    )
+    for a_, b_ in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb)):
+        denom = max(float(jnp.abs(b_).max()), 1e-6)
+        assert float(jnp.abs(a_ - b_).max()) / denom < 1e-4
