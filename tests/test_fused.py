@@ -103,3 +103,72 @@ def test_fused_reduce_false_matches_unfused():
         np.asarray(out_u["output_features"]),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_m_cache_keys_by_structure_and_survives_concurrent_traces():
+    """_M_CACHE (ops/fused_tp.py) memoizes M = sh @ C per (sh object,
+    structure key).  Two different conv structures sharing ONE sh tracer
+    inside a jit must each get their own operator (no cross-structure
+    aliasing), including when the traces run on concurrent threads."""
+    import threading
+
+    from equivariant_nn_zoo_tpu.nn.message_passing import FactorizedConvolution
+    from equivariant_nn_zoo_tpu.ops.fused_tp import FusedUVUConv
+
+    def make_conv(out_spec):
+        kw = dict(KW)
+        kw["output_features"] = out_spec
+        conv = FactorizedConvolution(**kw, fused=True, compute_dtype="float32")
+        params = conv.init(jax.random.PRNGKey(0))
+        return FusedUVUConv(conv.tp, compute_dtype=jnp.float32), params
+
+    fused_a, pa = make_conv("8x0e+8x1o+8x2e")
+    fused_b, pb = make_conv("8x0e+8x0o+8x1e+8x1o")
+    rng = np.random.default_rng(7)
+    N, E = 16, 64
+    x_a = jnp.asarray(rng.normal(size=(N, fused_a.irreps_in.dim)), jnp.float32)
+    sh = jnp.asarray(rng.normal(size=(E, 9)), jnp.float32)
+    w_a = jnp.asarray(rng.normal(size=(E, fused_a.weight_numel)), jnp.float32)
+    w_b = jnp.asarray(rng.normal(size=(E, fused_b.weight_numel)), jnp.float32)
+    src = jnp.asarray(rng.integers(0, N, size=(E,)), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, N, size=(E,)), jnp.int32)
+
+    def both(sh_):
+        # one sh tracer feeds two structures -> two distinct cache entries
+        oa = fused_a(pa["tp"]["linear"], x_a, src, dst, sh_, w_a, N)
+        ob = fused_b(pb["tp"]["linear"], x_a, src, dst, sh_, w_b, N)
+        return oa, ob
+
+    ref_a, ref_b = both(sh)                      # eager (array-keyed cache)
+    jit_a, jit_b = jax.jit(both)(sh)             # traced (tracer-keyed)
+    np.testing.assert_allclose(np.asarray(jit_a), np.asarray(ref_a),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jit_b), np.asarray(ref_b),
+                               rtol=1e-5, atol=1e-5)
+
+    # concurrent traces: each thread jits its own composite; results must
+    # stay structure-correct (no cache cross-talk between live traces)
+    results, errs = {}, []
+
+    def run(tag, fused, p, w):
+        try:
+            f = jax.jit(lambda s: fused(p["tp"]["linear"], x_a, src, dst,
+                                        s, w, N))
+            for _ in range(3):
+                results[tag] = np.asarray(f(sh))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=("a", fused_a, pa, w_a)),
+        threading.Thread(target=run, args=("b", fused_b, pb, w_b)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    np.testing.assert_allclose(results["a"], np.asarray(ref_a),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(results["b"], np.asarray(ref_b),
+                               rtol=1e-5, atol=1e-5)
