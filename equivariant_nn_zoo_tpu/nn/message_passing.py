@@ -140,7 +140,8 @@ class FactorizedConvolution(Module):
                 self.fused_conv = None
                 self.full_conv = None
                 self.edge_conv = None
-                if pallas and not reduce and self.grad_order < 2:
+                if (pallas and not reduce and self.grad_order < 2
+                        and os.environ.get("E3_PALLAS_EDGECONV", "1") == "1"):
                     # per-edge-output conv (the Pairwise head's neighbor
                     # conv): the v1 kernel minus the segment sum.  Used at
                     # apply time when the edge capacity is tile-aligned.

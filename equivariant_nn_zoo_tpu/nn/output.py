@@ -195,8 +195,11 @@ class Pairwise(Module):
         import os
 
         self._pairwise_kernel = None
-        force = os.environ.get("E3_PALLAS_PAIRWISE", "") == "force"
-        if os.environ.get("E3_PALLAS", "1") == "1":
+        # E3_PALLAS_PAIRWISE: "force" builds the kernel on any backend
+        # (interpret-mode tests), "0" disables it (TPU A/B ablation)
+        knob = os.environ.get("E3_PALLAS_PAIRWISE", "")
+        force = knob == "force"
+        if os.environ.get("E3_PALLAS", "1") == "1" and knob != "0":
             try:
                 import jax as _jax
 
