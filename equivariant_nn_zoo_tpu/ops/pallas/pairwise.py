@@ -238,26 +238,41 @@ class PallasPairwiseTP:
         self.out_rows = out_row
         self.Wmax = max(mx["Wg"] for mx in self._mix)
 
-        wcol = 0
-        self._wsel_meta = []  # (g, sec-index, k0_abs_local, npg, col0, perm)
+        # section-local mid-row offsets per (section, group)
+        k0_sg = {}
         for si, sm in enumerate(self._secs):
             k = sm["k0"]
             for g in sorted(sm["gq"]):
+                k0_sg[(si, g)] = k
+                k += len(sm["gq"][g]) * groups[g][2]
+
+        # stacked-wsel layout is GROUP-major: each group's mix matrix is one
+        # contiguous [gcols, Wg] slice (its sections' (path, u) rows stacked
+        # in section order), so the whole group mixes in ONE MXU dot per
+        # kernel stage instead of one tiny dot per (section, component)
+        wcol = 0
+        self._wsel_meta = []
+        for g, (ir, n_paths, d, p0) in enumerate(groups):
+            gofs = 0
+            for si, sm in enumerate(self._secs):
+                if g not in sm["gq"]:
+                    continue
                 plist_g = sm["gq"][g]
                 npg = len(plist_g)
-                d3 = groups[g][2]
                 # rows of the simplified linear input for (path m, u)
                 perm = np.concatenate([
                     np.arange(slot_rank[self.paths[q].i_out],
                               slot_rank[self.paths[q].i_out] + mul)
                     for q in plist_g
                 ])
-                ent = dict(si=si, g=g, k0=k, npg=npg, col0=wcol,
-                           perm=jnp.asarray(perm))
+                ent = dict(si=si, g=g, k0=k0_sg[(si, g)], npg=npg,
+                           gofs=gofs, perm=jnp.asarray(perm))
                 self._mix[g]["secs"].append(ent)
                 self._wsel_meta.append(ent)
-                wcol += npg * mul
-                k += npg * d3
+                gofs += npg * mul
+            self._mix[g]["col0"] = wcol
+            self._mix[g]["gcols"] = gofs
+            wcol += gofs
         self.wsel_cols = wcol  # == n_usable_paths * mul
 
         # ---- final column permutation: out[:, (io, u, dd)] <- kernel row ---
@@ -391,55 +406,82 @@ class PallasPairwiseTP:
             bw = bwT[...]
             wT = wselT_all[...]
             C2 = C2all[...]
-            # stream sections: one small mid at a time, accumulated straight
-            # into per-(group, component) blocks (the full [K2*mul, T]
-            # intermediate never exists); one concat writes the output in
-            # row order — no strided stores
-            acc: Dict = {}
-            for si, sm in enumerate(self._secs):
-                mid = self._mid_of(a, bw, C2, si)
-                for g in sorted(sm["gq"]):
-                    mx = mix[g]
-                    ent = next(e for e in mx["secs"] if e["si"] == si)
-                    npg, Wg = ent["npg"], mx["Wg"]
-                    wt = wT[:Wg, ent["col0"]: ent["col0"] + npg * mul]
-                    for dd in range(mx["d"]):
-                        r0 = (ent["k0"] - sm["k0"] + dd * npg) * mul
-                        o = jax.lax.dot_general(
-                            wt, mid[r0: r0 + npg * mul, :],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                        key = (g, dd)
-                        acc[key] = o if key not in acc else acc[key] + o
-            outs = [acc[(g, dd)].astype(cd)
-                    for g, mx in enumerate(mix) for dd in range(mx["d"])]
+            mids = [self._mid_of(a, bw, C2, si)
+                    for si in range(len(self._secs))]
+            outs = []
+            for g, mx in enumerate(mix):
+                # mix the whole group in ONE MXU dot: rows = the group's
+                # (section, path, u) mid rows, lanes = (component, edge)
+                blk = self._group_block(mids, mx)        # [gcols, d*T]
+                wt = wT[:mx["Wg"], mx["col0"]: mx["col0"] + mx["gcols"]]
+                o = jax.lax.dot_general(
+                    wt, blk,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(cd)                             # [Wg, d*T]
+                outs.extend(o[:, dd * T: (dd + 1) * T]
+                            for dd in range(mx["d"]))
             out[...] = jnp.concatenate(outs, axis=0)
 
         return kernel
 
-    def _douter_of(self, ws, go, C2T, si):
-        """Per-section cotangent of the outer rows: the mix backward (dmid
-        blocks from the stacked wsel and the output cotangent) followed by
-        the adjoint CG matmul."""
+    def _group_block(self, mids, mx):
+        """Stack one group's mid rows: [gcols, T] per component dd from its
+        sections' (path, u) row slices, lane-concat over dd -> [gcols, d*T].
+        All slices are mul-aligned (free register stacking)."""
+        mul = self.mul
+        cols = []
+        for dd in range(mx["d"]):
+            rows = []
+            for ent in mx["secs"]:
+                sm = self._secs[ent["si"]]
+                r0 = (ent["k0"] - sm["k0"] + dd * ent["npg"]) * mul
+                rows.append(mids[ent["si"]][r0: r0 + ent["npg"] * mul, :])
+            cols.append(rows[0] if len(rows) == 1
+                        else jnp.concatenate(rows, axis=0))
+        return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+
+    def _go_lanes(self, go, mx):
+        """Group's output-cotangent rows, lane-stacked: [Wg, d*T]."""
+        T = self.tile
+        Wg = mx["Wg"]
+        cols = [go[mx["out_row"] + dd * Wg: mx["out_row"] + (dd + 1) * Wg, :]
+                for dd in range(mx["d"])]
+        return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+
+    def _dmid_parts(self, ws, go):
+        """Mix backward, one MXU dot per group: dfull_g [gcols, d*T] =
+        wsel_g @ go_lanes_g; sliced back into per-(section, g, dd) blocks
+        keyed for section assembly."""
+        mul, T = self.mul, self.tile
+        cd = self.compute_dtype
+        parts: Dict = {}
+        for g, mx in enumerate(self._mix):
+            wt = ws[mx["col0"]: mx["col0"] + mx["gcols"], : mx["Wg"]]
+            dfull = jax.lax.dot_general(
+                wt, self._go_lanes(go, mx),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)                                 # [gcols, d*T]
+            for ent in mx["secs"]:
+                for dd in range(mx["d"]):
+                    parts[(ent["si"], g, dd)] = dfull[
+                        ent["gofs"]: ent["gofs"] + ent["npg"] * mul,
+                        dd * T: (dd + 1) * T,
+                    ]
+        return parts
+
+    def _douter_of(self, parts, C2T, si):
+        """Per-section outer cotangent: assemble dmid in local-k order from
+        the mix-backward parts, then the adjoint CG matmul."""
         mul, T = self.mul, self.tile
         cd = self.compute_dtype
         sm = self._secs[si]
-        dmid_blocks = []
+        blocks = []
         for g in sorted(sm["gq"]):
-            mx = self._mix[g]
-            ent = next(e for e in mx["secs"] if e["si"] == si)
-            npg, Wg = ent["npg"], mx["Wg"]
-            ws_blk = ws[ent["col0"]: ent["col0"] + npg * mul, :Wg]
-            for dd in range(mx["d"]):
-                go_blk = go[mx["out_row"] + dd * Wg:
-                            mx["out_row"] + (dd + 1) * Wg, :]
-                dmid_blocks.append(jax.lax.dot_general(
-                    ws_blk, go_blk,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(cd))                            # [npg*mul, T]
-        dmid = jnp.concatenate(dmid_blocks, axis=0)
+            for dd in range(self._mix[g]["d"]):
+                blocks.append(parts[(si, g, dd)])
+        dmid = jnp.concatenate(blocks, axis=0)
         if sm["K8"] > sm["used"]:
             dmid = jnp.concatenate([
                 dmid, jnp.zeros(((sm["K8"] - sm["used"]) * mul, T), cd),
@@ -449,73 +491,37 @@ class PallasPairwiseTP:
             C2T[si, : sm["rows"], : sm["K8"]].astype(cd), dmid,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(cd)                                     # [L*d2*d1, mul*T]
+        ).astype(cd)                                     # [(i,q,j), mul*T]
 
-    def _bwd_kernel_da(self):
-        """Pass 1: daT + dwsel (the two legs that need bwT in VMEM)."""
-        mul, T = self.mul, self.tile
-        I = self.I_dim
+    def _bwd_kernel_dws(self):
+        """Pass 1: the stacked-wsel cotangent — one dot per group
+        (blk_g [gcols, d*T] @ go_lanes^T), accumulated across tiles."""
         import jax.experimental.pallas as pl
 
-        def kernel(aT, bwT, wsel_all, C2all, C2Tall, gout,
-                   daT, dwsel_ref):
+        def kernel(aT, bwT, wsel_all, C2all, gout, dwsel_ref):
             a = aT[...]
             bw = bwT[...]
-            ws = wsel_all[...]
             C2 = C2all[...]
-            C2T = C2Tall[...]
             go = gout[...].astype(self.compute_dtype)
-            first_tile = pl.program_id(0) == 0
-
-            da_acc: Dict = {}                            # i1 slot -> [d1, X]
+            mids = [self._mid_of(a, bw, C2, si)
+                    for si in range(len(self._secs))]
             dws_parts = []
-            for si, sm in enumerate(self._secs):
-                d1, d2 = sm["d1"], sm["d2"]
-                L = len(sm["plist"])
-                mid = self._mid_of(a, bw, C2, si)        # [K8*mul, T]
-                for g in sorted(sm["gq"]):
-                    mx = self._mix[g]
-                    ent = next(e for e in mx["secs"] if e["si"] == si)
-                    npg, Wg = ent["npg"], mx["Wg"]
-                    dws_acc = None
-                    for dd in range(mx["d"]):
-                        go_blk = go[mx["out_row"] + dd * Wg:
-                                    mx["out_row"] + (dd + 1) * Wg, :]
-                        r0 = (ent["k0"] - sm["k0"] + dd * npg) * mul
-                        contrib = jax.lax.dot_general(
-                            mid[r0: r0 + npg * mul, :], go_blk,
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )                                # [npg*mul, Wg]
-                        dws_acc = (contrib if dws_acc is None
-                                   else dws_acc + contrib)
-                    if dws_acc.shape[1] < self.Wmax:
-                        dws_acc = jnp.concatenate([
-                            dws_acc,
-                            jnp.zeros((dws_acc.shape[0],
-                                       self.Wmax - dws_acc.shape[1]),
-                                      jnp.float32),
-                        ], axis=1)
-                    dws_parts.append(dws_acc)
-                douter = self._douter_of(ws, go, C2T, si)  # [(i,q,j), X]
-                bw_blk = bw[sm["bw0"]: sm["bw0"] + L * d2, :]
-                contrib = jnp.concatenate([
-                    jnp.sum(douter[i * L * d2: (i + 1) * L * d2, :] * bw_blk,
-                            axis=0, keepdims=True)
-                    for i in range(d1)
-                ], axis=0)                               # [d1, X]
-                i1 = sm["i1"]
-                da_acc[i1] = (contrib if i1 not in da_acc
-                              else da_acc[i1] + contrib)
-            # assemble daT in irreps_a slot order (contiguous rows)
-            da_rows = []
-            for i1 in range(len(self.irreps_a)):
-                d1 = self.irreps_a[i1].ir.dim
-                da_rows.append(da_acc.get(
-                    i1, jnp.zeros((d1, mul * T), jnp.float32)
-                ))
-            daT[...] = jnp.concatenate(da_rows, axis=0).astype(daT.dtype)
+            for g, mx in enumerate(self._mix):
+                blk = self._group_block(mids, mx)        # [gcols, d*T]
+                dws = jax.lax.dot_general(
+                    blk, self._go_lanes(go, mx),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                        # [gcols, Wg]
+                if mx["Wg"] < self.Wmax:
+                    dws = jnp.concatenate([
+                        dws,
+                        jnp.zeros((dws.shape[0], self.Wmax - mx["Wg"]),
+                                  jnp.float32),
+                    ], axis=1)
+                dws_parts.append(dws)
             dws_all = jnp.concatenate(dws_parts, axis=0)
+            first_tile = pl.program_id(0) == 0
 
             @pl.when(first_tile)
             def _():
@@ -527,11 +533,46 @@ class PallasPairwiseTP:
 
         return kernel
 
+    def _bwd_kernel_da(self):
+        """Pass 2: daT — mix backward (per-group dots), per-section adjoint
+        CG, i-major row reductions against bwT."""
+        mul, T = self.mul, self.tile
+
+        def kernel(bwT, wsel_all, C2Tall, gout, daT):
+            bw = bwT[...]
+            ws = wsel_all[...]
+            C2T = C2Tall[...]
+            go = gout[...].astype(self.compute_dtype)
+            parts = self._dmid_parts(ws, go)
+            da_acc: Dict = {}                            # i1 slot -> [d1, X]
+            for si, sm in enumerate(self._secs):
+                d1, d2 = sm["d1"], sm["d2"]
+                L = len(sm["plist"])
+                douter = self._douter_of(parts, C2T, si)  # [(i,q,j), X]
+                bw_blk = bw[sm["bw0"]: sm["bw0"] + L * d2, :]
+                contrib = jnp.concatenate([
+                    jnp.sum(douter[i * L * d2: (i + 1) * L * d2, :] * bw_blk,
+                            axis=0, keepdims=True)
+                    for i in range(d1)
+                ], axis=0)                               # [d1, X]
+                i1 = sm["i1"]
+                da_acc[i1] = (contrib if i1 not in da_acc
+                              else da_acc[i1] + contrib)
+            da_rows = []
+            for i1 in range(len(self.irreps_a)):
+                d1 = self.irreps_a[i1].ir.dim
+                da_rows.append(da_acc.get(
+                    i1, jnp.zeros((d1, mul * T), jnp.float32)
+                ))
+            daT[...] = jnp.concatenate(da_rows, axis=0).astype(daT.dtype)
+
+        return kernel
+
     def _bwd_kernel_dbw(self):
-        """Pass 2: dbwT only — needs aT but never bwT, so the two big
-        per-tile operands (bwT in, dbwT out) are split across passes and
-        each pass stays within the scoped-VMEM budget at the hamiltonian
-        head's full size."""
+        """Pass 3: dbwT — needs aT but never bwT, so the two big per-tile
+        operands (bwT in / dbwT out) never share a pass and every pass
+        stays within the scoped-VMEM budget at the hamiltonian head's
+        full size."""
         mul, T = self.mul, self.tile
 
         def kernel(aT, wsel_all, C2Tall, gout, dbwT):
@@ -539,11 +580,12 @@ class PallasPairwiseTP:
             ws = wsel_all[...]
             C2T = C2Tall[...]
             go = gout[...].astype(self.compute_dtype)
+            parts = self._dmid_parts(ws, go)
             blocks = []  # sections enumerate bw rows contiguously in order
             for si, sm in enumerate(self._secs):
                 d1, d2 = sm["d1"], sm["d2"]
                 L = len(sm["plist"])
-                douter = self._douter_of(ws, go, C2T, si)  # [(i,q,j), X]
+                douter = self._douter_of(parts, C2T, si)  # [(i,q,j), X]
                 dbw = None
                 for i in range(d1):
                     t = (douter[i * L * d2: (i + 1) * L * d2, :]
@@ -563,6 +605,7 @@ class PallasPairwiseTP:
         cd = self.compute_dtype
         out_rows = self.out_rows
         fwd_kernel = self._fwd_kernel()
+        bwd_kernel_dws = self._bwd_kernel_dws()
         bwd_kernel_da = self._bwd_kernel_da()
         bwd_kernel_dbw = self._bwd_kernel_dbw()
         interpret = _use_interpret()
@@ -589,28 +632,35 @@ class PallasPairwiseTP:
         def run_bwd(aT, bwT, wsel_all, gout):
             Mp = aT.shape[1] // mul
             grid = (Mp // T,)
-            daT, dwsel = pl.pallas_call(
-                bwd_kernel_da,
+            dwsel = pl.pallas_call(
+                bwd_kernel_dws,
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec((I, T * mul), lambda t: (0, t)),
                     pl.BlockSpec((R, T * mul), lambda t: (0, t)),
                     pl.BlockSpec(wsel_all.shape, lambda t: (0, 0)),
                     pl.BlockSpec(self._C2all.shape, lambda t: (0, 0, 0)),
+                    pl.BlockSpec((out_rows, T), lambda t: (0, t)),
+                ],
+                out_specs=pl.BlockSpec(wsel_all.shape, lambda t: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct(wsel_all.shape, jnp.float32),
+                interpret=interpret,
+                **_compiler_params(interpret),
+            )(aT, bwT, wsel_all, self._C2all, gout)
+            daT = pl.pallas_call(
+                bwd_kernel_da,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((R, T * mul), lambda t: (0, t)),
+                    pl.BlockSpec(wsel_all.shape, lambda t: (0, 0)),
                     pl.BlockSpec(self._C2Tall.shape, lambda t: (0, 0, 0)),
                     pl.BlockSpec((out_rows, T), lambda t: (0, t)),
                 ],
-                out_specs=[
-                    pl.BlockSpec((I, T * mul), lambda t: (0, t)),
-                    pl.BlockSpec(wsel_all.shape, lambda t: (0, 0)),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct((I, Mp * mul), cd),
-                    jax.ShapeDtypeStruct(wsel_all.shape, jnp.float32),
-                ],
+                out_specs=pl.BlockSpec((I, T * mul), lambda t: (0, t)),
+                out_shape=jax.ShapeDtypeStruct((I, Mp * mul), cd),
                 interpret=interpret,
                 **_compiler_params(interpret),
-            )(aT, bwT, wsel_all, self._C2all, self._C2Tall, gout)
+            )(bwT, wsel_all, self._C2Tall, gout)
             dbwT = pl.pallas_call(
                 bwd_kernel_dbw,
                 grid=grid,
