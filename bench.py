@@ -470,6 +470,8 @@ def bench_dipole():
 
 
 def bench_hamiltonian(batch_size=None):
+    import os
+
     import jax
     import optax
 
@@ -480,26 +482,40 @@ def bench_hamiltonian(batch_size=None):
     rng = np.random.default_rng(0)
     cfg = get_config("config_hamiltonian")
     batch_size = int(batch_size or cfg.batch_size)
-    model = build(cfg.model_config)
     loss_obj = Loss(dict(cfg.loss_coeffs))
     mols = synthetic_h2o(batch_size * 4, rng)
     batches, _, _ = make_batches(mols, batch_size)
 
-    params = model.init(jax.random.PRNGKey(0))
-    optimizer = optax.adam(1e-3)
-    opt_state = optimizer.init(params)
+    def make_step():
+        model = build(cfg.model_config)
+        params = model.init(jax.random.PRNGKey(0))
+        optimizer = optax.adam(1e-3)
+        opt_state = optimizer.init(params)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch):
-        def loss_fn(p):
-            out = model.apply(p, batch)
-            loss, _ = loss_obj(out.data, batch.data)
-            return loss
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch):
+            def loss_fn(p):
+                out = model.apply(p, batch)
+                loss, _ = loss_obj(out.data, batch.data)
+                return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step, params, opt_state
+
+    train_step, params, opt_state = make_step()
+    try:  # compile check: fall back to the XLA head if a kernel rejects
+        params, opt_state, l0 = train_step(params, opt_state, batches[0])
+        jax.block_until_ready(l0)
+    except Exception as e:  # pragma: no cover - TPU-compile guard
+        print(f"pairwise kernel path failed ({type(e).__name__}); "
+              "falling back to E3_PALLAS_PAIRWISE=0", file=sys.stderr)
+        os.environ["E3_PALLAS_PAIRWISE"] = "0"
+        os.environ["E3_PALLAS_EDGECONV"] = "0"
+        train_step, params, opt_state = make_step()
 
     state = [params, opt_state]
 
