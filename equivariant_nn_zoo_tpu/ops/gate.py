@@ -87,6 +87,40 @@ class Gate:
         self.irreps_in = self.irreps_scalars + self.irreps_gates + self.irreps_gated
         self.irreps_out = self.irreps_scalars + self.irreps_gated
 
+        # fused lowering plan: merge consecutive scalar slots sharing one
+        # activation (acts vary only by parity in practice), and expand the
+        # gates over the gated channels with ONE 0/1 matmul — the per-slot
+        # [*, mul, d] reshapes pad 1/3/5/7-wide minors to full lane tiles
+        # and cost ~10x their bytes in HBM traffic
+        self._scalar_runs = []  # (ofs, dim, act)
+        ofs = 0
+        for mi, raw, act in zip(self.irreps_scalars, act_scalars,
+                                self.act_scalars):
+            if self._scalar_runs and self._scalar_runs[-1][3] is raw:
+                self._scalar_runs[-1][1] += mi.dim
+            else:
+                self._scalar_runs.append([ofs, mi.dim, act, raw])
+            ofs += mi.dim
+        self._gates_fused = (
+            len({id(a) for a in act_gates}) <= 1 and len(act_gates) > 0
+        )
+        if self.irreps_gated.dim:
+            import numpy as np
+
+            gated_dim = self.irreps_gated.dim
+            dg = self.irreps_gates.dim
+            Eg = np.zeros((dg, gated_dim), np.float32)
+            col = 0
+            gch = 0
+            for mi in self.irreps_gated:
+                for u in range(mi.mul):
+                    Eg[gch, col: col + mi.ir.dim] = 1.0
+                    gch += 1
+                    col += mi.ir.dim
+            self._Eg = Eg
+        else:
+            self._Eg = None
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ds = self.irreps_scalars.dim
         dg = self.irreps_gates.dim
@@ -94,16 +128,22 @@ class Gate:
         gates = x[..., ds : ds + dg]
         gated = x[..., ds + dg :]
         outs: List[jnp.ndarray] = []
-        ofs = 0
-        for mi, act in zip(self.irreps_scalars, self.act_scalars):
-            outs.append(act(scalars[..., ofs : ofs + mi.dim]))
-            ofs += mi.dim
-        ofs = 0
-        acted_gates = []
-        for mi, act in zip(self.irreps_gates, self.act_gates):
-            acted_gates.append(act(gates[..., ofs : ofs + mi.dim]))
-            ofs += mi.dim
-        if acted_gates:
+        for ofs, dim, act, _raw in self._scalar_runs:
+            outs.append(act(scalars[..., ofs : ofs + dim]))
+        if dg and self._gates_fused and self._Eg is not None:
+            g = self.act_gates[0](gates)
+            gexp = jax.lax.dot_general(
+                g, jnp.asarray(self._Eg, x.dtype),
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            outs.append(gated * gexp)
+        elif dg:
+            ofs = 0
+            acted_gates = []
+            for mi, act in zip(self.irreps_gates, self.act_gates):
+                acted_gates.append(act(gates[..., ofs : ofs + mi.dim]))
+                ofs += mi.dim
             g = jnp.concatenate(acted_gates, axis=-1)
             ofs = 0
             gofs = 0

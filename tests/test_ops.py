@@ -306,3 +306,28 @@ def test_norm_activation_run_merging_matches_per_slot():
     want = jnp.concatenate(outs, -1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_gate_fused_lowering_matches_loop():
+    """Gate's fused lowering (merged scalar runs + one-hot gate-expansion
+    matmul) must match the per-slot reference loop exactly."""
+    from equivariant_nn_zoo_tpu.ops.gate import Gate, activations
+
+    rng = np.random.default_rng(3)
+    g = Gate(
+        "8x0e+8x0o", [activations["ssp"], activations["tanh"]],
+        "12x0e", [activations["silu"]], "4x1o+4x1e+4x2e",
+    )
+    assert g._gates_fused and len(g._scalar_runs) == 2
+    x = jnp.asarray(rng.normal(size=(7, g.irreps_in.dim)), jnp.float32)
+    out = g(x)
+    g._gates_fused = False  # force the reference loop
+    ref = g(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+    g._gates_fused = True
+    ga = jax.grad(lambda x_: jnp.sum(jnp.cos(g(x_))))(x)
+    g._gates_fused = False
+    gb = jax.grad(lambda x_: jnp.sum(jnp.cos(g(x_))))(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-5, atol=1e-5)
