@@ -114,6 +114,14 @@ def estimate_capacities(dataset, batch_size: int, sample: int = 256,
             slots_cap = float(max(all_slots))
             runs_cap = float(max(all_runs))
         edge_cap = int(math.ceil(slots_cap / edge_tile) * edge_tile) + edge_tile
+        # the tile-batched kernel (E3_PALLAS_TILEBATCH, fused_conv.py)
+        # processes B edge tiles per grid step and needs E % (B*tile) == 0;
+        # round the capacity up so the batched grid divides evenly (the
+        # extra slots land in the trailing pad run, ~0.3% at QM9 scale)
+        from ..ops.pallas.fused_conv import _tile_batch_env
+
+        bt = edge_tile * _tile_batch_env()
+        edge_cap = int(math.ceil(edge_cap / bt) * bt)
         # each run owns an exclusive window-sized node block, plus the
         # shared trailing pad block (dummy node)
         node_cap = (int(runs_cap) + 1) * window

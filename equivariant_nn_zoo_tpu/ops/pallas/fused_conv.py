@@ -84,6 +84,19 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _tile_batch_env() -> int:
+    """Edge tiles per grid step for the headline fwd/bwd kernels
+    (E3_PALLAS_TILEBATCH, default 1).  Read at trace time so ablations can
+    toggle it per run; the loader rounds edge capacities to tile*batch so
+    the batched grid divides evenly (dataloader._auto_capacities)."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("E3_PALLAS_TILEBATCH", "1")))
+    except ValueError:
+        return 1
+
+
 class PallasUVUConv(FusedUVUConv):
     """Drop-in replacement for FusedUVUConv running the hot loop in Pallas.
 
@@ -828,7 +841,14 @@ class PallasFullConv(PallasUVUConv):
                 parts.append(jnp.zeros(((sm["K8"] - used) * mul, T), cd))
         return jnp.concatenate(parts, axis=0)              # [K2*mul, T]
 
-    def _full_fwd_kernel(self):
+    def _full_fwd_kernel(self, B: int = 1):
+        """``B``: edge tiles per grid step (E3_PALLAS_TILEBATCH).  The
+        per-tile chain alternates VPU (outer build, weight mult) and MXU
+        (TP, scatter) stages with data dependencies, so with one tile per
+        grid step the units idle alternately; batching B independent tiles
+        into one kernel body lets Mosaic overlap tile b's VPU stages with
+        tile b+1's MXU dots.  Semantics are identical: sub-tiles run in
+        program order, so run-boundary accumulator resets stay correct."""
         import jax.experimental.pallas as pl
 
         J, I, mul, T, W = (self.J_dim, self.I_dim, self.mul, self.tile,
@@ -849,75 +869,93 @@ class PallasFullConv(PallasUVUConv):
             accw_ref = args[6 + nW + nSec + S]            # scratch [K2*mul, W]
 
             t = pl.program_id(0)
-            w0 = pl.multiple_of(win0_ref[t], 8)
-            xw = x_ref[pl.ds(w0, W), :].astype(cd)       # [W, I*mul]
-            srcl = srcl_ref[...]                          # [1, T] i32
-            dstl = dstl_ref[...]
-            iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
-            one_s = (iota == srcl).astype(cd)
-            one_d = (iota == dstl).astype(cd)
-            g_x = jax.lax.dot_general(
-                one_s, xw,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(cd)                                  # [T, I*mul]
-            xb = jnp.transpose(g_x).reshape(I, mul * T)
-            _, w_edge = self._mlp_fwd(er_ref[...], [w[...] for w in W_refs])
-            wT2 = jnp.transpose(w_edge)                   # [P*mul, T]
-            _, _, w2d = self._tp_mid2(
-                xb, shT_ref[...].astype(cd), wT2,
-                [c[...] for c in C2_refs],
-            )
-            # scatter the UNMIXED weighted TP into the window accumulator:
-            # one MXU-shaped matmul (M = K2*mul) instead of 32 mix-width
-            # ones — the mix runs once per window at the run's last tile.
-            # f32 per-run accumulation: every tile's contribution sums in
-            # full precision; a single rounding to compute dtype happens at
-            # the flush (the bf16-accumulate drift concern of multi-tile
-            # runs is gone)
-            contrib = jax.lax.dot_general(
-                w2d, one_d,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                             # [K2*mul, W] f32
 
             @pl.when(t == 0)
             def _():
                 acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-            @pl.when(first_ref[t] == 1)
-            def _():
-                accw_ref[...] = contrib
+            srcl_all = srcl_ref[...]                      # [1, B*T] i32
+            dstl_all = dstl_ref[...]
+            sh_all = shT_ref[...].astype(cd)              # [J, B*T]
+            er_all = er_ref[...]                          # [B*T, nb]
+            Wvals = [w[...] for w in W_refs]
+            C2vals = [c[...] for c in C2_refs]
+            for b in range(B):
+                ti = t * B + b
+                w0 = pl.multiple_of(win0_ref[ti], 8)
+                xw = x_ref[pl.ds(w0, W), :].astype(cd)   # [W, I*mul]
+                srcl = srcl_all[:, b * T: (b + 1) * T]
+                dstl = dstl_all[:, b * T: (b + 1) * T]
+                iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
+                one_s = (iota == srcl).astype(cd)
+                one_d = (iota == dstl).astype(cd)
+                g_x = jax.lax.dot_general(
+                    one_s, xw,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(cd)                              # [T, I*mul]
+                xb = jnp.transpose(g_x).reshape(I, mul * T)
+                _, w_edge = self._mlp_fwd(
+                    er_all[b * T: (b + 1) * T, :], Wvals
+                )
+                wT2 = jnp.transpose(w_edge)               # [P*mul, T]
+                _, _, w2d = self._tp_mid2(
+                    xb, sh_all[:, b * T: (b + 1) * T], wT2, C2vals,
+                )
+                # scatter the UNMIXED weighted TP into the window
+                # accumulator: one MXU-shaped matmul (M = K2*mul) instead
+                # of 32 mix-width ones — the mix runs once per window at
+                # the run's last tile.  f32 per-run accumulation: every
+                # tile's contribution sums in full precision; a single
+                # rounding to compute dtype happens at the flush (the
+                # bf16-accumulate drift concern of multi-tile runs is gone)
+                contrib = jax.lax.dot_general(
+                    w2d, one_d,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                         # [K2*mul, W] f32
 
-            @pl.when(first_ref[t] == 0)
-            def _():
-                accw_ref[...] = accw_ref[...] + contrib
+                @pl.when(first_ref[ti] == 1)
+                def _(contrib=contrib):
+                    accw_ref[...] = contrib
 
-            @pl.when(last_ref[t] == 1)
-            def _():
-                accw = accw_ref[...].astype(cd)
-                outs = []
-                for g, mx in enumerate(mix2):
-                    d = mx["d"]
-                    for dd in range(d):
-                        blk = None
-                        for sec in mx["secs"]:
-                            c0 = (sec["k0"] + dd * sec["npg"]) * mul
-                            dsec = jax.lax.dot_general(
-                                accw[c0: c0 + sec["npg"] * mul, :],
-                                wsel_refs[sec["idx"]][...],
-                                dimension_numbers=(((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )                             # [W, Wg]
-                            blk = dsec if blk is None else blk + dsec
-                        outs.append(blk)
-                full = jnp.concatenate(outs, axis=1)      # [W, out_rows]
-                cur = acc_ref[pl.ds(w0, W), :]
-                acc_ref[pl.ds(w0, W), :] = cur + full.astype(acc_ref.dtype)
+                @pl.when(first_ref[ti] == 0)
+                def _(contrib=contrib):
+                    accw_ref[...] = accw_ref[...] + contrib
+
+                @pl.when(last_ref[ti] == 1)
+                def _(w0=w0):
+                    accw = accw_ref[...].astype(cd)
+                    outs = []
+                    for g, mx in enumerate(mix2):
+                        d = mx["d"]
+                        for dd in range(d):
+                            blk = None
+                            for sec in mx["secs"]:
+                                c0 = (sec["k0"] + dd * sec["npg"]) * mul
+                                dsec = jax.lax.dot_general(
+                                    accw[c0: c0 + sec["npg"] * mul, :],
+                                    wsel_refs[sec["idx"]][...],
+                                    dimension_numbers=(
+                                        ((0,), (0,)), ((), ())
+                                    ),
+                                    preferred_element_type=jnp.float32,
+                                )                         # [W, Wg]
+                                blk = dsec if blk is None else blk + dsec
+                            outs.append(blk)
+                    full = jnp.concatenate(outs, axis=1)  # [W, out_rows]
+                    cur = acc_ref[pl.ds(w0, W), :]
+                    acc_ref[pl.ds(w0, W), :] = (
+                        cur + full.astype(acc_ref.dtype)
+                    )
 
         return kernel
 
-    def _full_bwd_kernel(self):
+    def _full_bwd_kernel(self, B: int = 1):
+        """``B``: edge tiles per grid step — see _full_fwd_kernel.  The
+        radial-MLP weight gradients accumulate in registers across the B
+        sub-tiles (one ref add per grid step) so the sub-tile chains stay
+        independent except for the per-run accumulator scratches."""
         import jax.experimental.pallas as pl
 
         J, I, mul, T, W = (self.J_dim, self.I_dim, self.mul, self.tile,
@@ -943,7 +981,6 @@ class PallasFullConv(PallasUVUConv):
             dwin_ref, accw_ref = args[n_in + 3 + nW + S:]  # scratch
 
             t = pl.program_id(0)
-            w0 = pl.multiple_of(win0_ref[t], 8)
 
             @pl.when(t == 0)
             def _():
@@ -957,197 +994,233 @@ class PallasFullConv(PallasUVUConv):
                         dwsel_refs[s].shape, dwsel_refs[s].dtype
                     )
 
-            # per-window upstream cotangent of the UNMIXED accumulator:
-            # dwin[(k,u), w] = sum_{io,u'} wsel gout[w0+w, ...] — computed
-            # once per run (the mix weights are per-window constants).
-            # Blocks are emitted in scratch row order: per section, its
-            # groups' blocks then a zero pad to that section's K8.
-            @pl.when(first_ref[t] == 1)
-            def _():
-                gw = gout_ref[pl.ds(w0, W), :].astype(cd)
-                blocks = []
-                for si, sm in enumerate(secs_meta):
-                    used = 0
+            srcl_all = srcl_ref[...]
+            dstl_all = dstl_ref[...]
+            sh_all = shT_ref[...].astype(cd)
+            er_all = er_ref[...]
+            Wvals = [w[...] for w in W_refs]
+            C2vals = [c[...] for c in C2_refs]
+            dW_loc = [None] * nW
+            dsh_parts = []
+            der_parts = []
+            for b in range(B):
+                ti = t * B + b
+                w0 = pl.multiple_of(win0_ref[ti], 8)
+
+                # per-window upstream cotangent of the UNMIXED accumulator:
+                # dwin[(k,u), w] = sum_{io,u'} wsel gout[w0+w, ...] —
+                # computed once per run (the mix weights are per-window
+                # constants).  Blocks are emitted in scratch row order: per
+                # section, its groups' blocks then a zero pad to that
+                # section's K8.
+                @pl.when(first_ref[ti] == 1)
+                def _(w0=w0):
+                    gw = gout_ref[pl.ds(w0, W), :].astype(cd)
+                    blocks = []
+                    for si, sm in enumerate(secs_meta):
+                        used = 0
+                        for g, mx in enumerate(mix2):
+                            Wg, d = mx["Wg"], mx["d"]
+                            for sec in mx["secs"]:
+                                if sec["si"] != si:
+                                    continue
+                                ws_g = wsel_refs[sec["idx"]][...]
+                                for dd in range(d):
+                                    r0 = mx["out_row"] + dd * Wg
+                                    blocks.append(
+                                        jax.lax.dot_general(
+                                            ws_g, gw[:, r0: r0 + Wg],
+                                            dimension_numbers=(
+                                                ((1,), (1,)), ((), ())
+                                            ),
+                                            preferred_element_type=(
+                                                jnp.float32
+                                            ),
+                                        )
+                                    )                      # [npg*mul, W]
+                                used += sec["npg"] * d
+                        if sm["K8"] - used:
+                            blocks.append(
+                                jnp.zeros(((sm["K8"] - used) * mul, W),
+                                          jnp.float32)
+                            )
+                    dwin_ref[...] = jnp.concatenate(blocks, axis=0).astype(
+                        dwin_ref.dtype
+                    )
+                    accw_ref[...] = jnp.zeros(accw_ref.shape,
+                                              accw_ref.dtype)
+
+                xw = x_ref[pl.ds(w0, W), :].astype(cd)
+                srcl = srcl_all[:, b * T: (b + 1) * T]
+                dstl = dstl_all[:, b * T: (b + 1) * T]
+                iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
+                one_s = (iota == srcl).astype(cd)
+                one_d = (iota == dstl).astype(cd)
+                g_x = jax.lax.dot_general(
+                    one_s, xw, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(cd)
+                xb = jnp.transpose(g_x).reshape(I, mul * T)
+                sh = sh_all[:, b * T: (b + 1) * T]
+                er = er_all[b * T: (b + 1) * T, :]
+                pre, w_edge = self._mlp_fwd(er, Wvals)
+                wT2 = jnp.transpose(w_edge)                # [P*mul, T]
+
+                # recompute forward intermediates (remat)
+                mid2, wt2, w2d = self._tp_mid2(xb, sh, wT2, C2vals)
+                contrib = jax.lax.dot_general(
+                    w2d, one_d,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                          # [K2*mul, W] f32
+                accw_ref[...] = accw_ref[...] + contrib
+
+                # per-edge cotangent of the weighted TP, via the window
+                # gather
+                dw2d = jax.lax.dot_general(
+                    dwin_ref[...], one_d,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(cd)                               # [K2*mul, T]
+
+                # radial-weight cotangent: rows (k,u) -> sum components per
+                # path, emitted in _p2 (sections outer, groups inner) order
+                dwp2 = dw2d * mid2
+                dwt_blocks = []
+                for si in range(nSec):
                     for g, mx in enumerate(mix2):
-                        Wg, d = mx["Wg"], mx["d"]
+                        d = mx["d"]
                         for sec in mx["secs"]:
                             if sec["si"] != si:
                                 continue
-                            ws_g = wsel_refs[sec["idx"]][...]
+                            dw_acc = None
                             for dd in range(d):
+                                r0 = (sec["k0"] + dd * sec["npg"]) * mul
+                                blk = dwp2[r0: r0 + sec["npg"] * mul, :]
+                                dw_acc = (blk if dw_acc is None
+                                          else dw_acc + blk)
+                            dwt_blocks.append(dw_acc)      # [npg*mul, T]
+
+                # mix-weight gradients once per window, from the
+                # (recomputed) forward accumulator:
+                # dwsel_sec = accw_sec^T @ gout_window
+                @pl.when(last_ref[ti] == 1)
+                def _(w0=w0):
+                    accw = accw_ref[...].astype(cd)
+                    gw = gout_ref[pl.ds(w0, W), :].astype(cd)
+                    for g, mx in enumerate(mix2):
+                        d, Wg = mx["d"], mx["Wg"]
+                        for sec in mx["secs"]:
+                            dws = None
+                            for dd in range(d):
+                                c0 = (sec["k0"] + dd * sec["npg"]) * mul
                                 r0 = mx["out_row"] + dd * Wg
-                                blocks.append(
-                                    jax.lax.dot_general(
-                                        ws_g, gw[:, r0: r0 + Wg],
-                                        dimension_numbers=(
-                                            ((1,), (1,)), ((), ())
-                                        ),
-                                        preferred_element_type=jnp.float32,
-                                    )
-                                )                          # [npg*mul, W]
-                            used += sec["npg"] * d
-                    if sm["K8"] - used:
-                        blocks.append(
-                            jnp.zeros(((sm["K8"] - used) * mul, W),
-                                      jnp.float32)
+                                c = jax.lax.dot_general(
+                                    accw[c0: c0 + sec["npg"] * mul, :],
+                                    gw[:, r0: r0 + Wg],
+                                    dimension_numbers=(
+                                        ((1,), (0,)), ((), ())
+                                    ),
+                                    preferred_element_type=jnp.float32,
+                                )                          # [npg*mul, Wg]
+                                dws = c if dws is None else dws + c
+                            dwsel_refs[sec["idx"]][...] = (
+                                dwsel_refs[sec["idx"]][...] + dws
+                            )
+
+                # TP-intermediate cotangent back to the wide layout for
+                # C2^T
+                dmid2 = dw2d * wt2
+                dwT2 = jnp.concatenate(dwt_blocks, axis=0)  # [P*mul, T]
+
+                # radial MLP backward (dwT2 -> d edge_radial + dW)
+                dw_edge = jnp.transpose(dwT2).astype(cd)
+                h_ins = [er.astype(cd)]
+                for i in range(nW - 1):
+                    h_ins.append(self.fc_act(pre[i]).astype(cd))
+                dh = dw_edge                               # [T, dims[-1]]
+                for i in reversed(range(nW)):
+                    dWi = jax.lax.dot_general(
+                        h_ins[i], dh,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                  # [dims[i], dims[i+1]]
+                    dW_loc[i] = dWi if dW_loc[i] is None else dW_loc[i] + dWi
+                    dh = jax.lax.dot_general(
+                        dh, Wvals[i].astype(cd),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(cd)                           # [T, dims[i]]
+                    if i > 0:
+                        _, act_vjp = jax.vjp(self.fc_act, pre[i - 1])
+                        dh = act_vjp(
+                            dh.astype(pre[i - 1].dtype)
+                        )[0].astype(cd)
+                der_parts.append(dh)
+
+                # adjoint per section: contraction dim shrinks to each
+                # section's K8 (the big MXU win of the per-l2 split);
+                # inactive sh rows (irreps with no paths) get zero blocks
+                dblocks = []
+                jm_done = 0
+                for si, sm in enumerate(secs_meta):
+                    if sm["jm0"] > jm_done:
+                        dblocks.append(jnp.zeros(
+                            ((sm["jm0"] - jm_done) * I, mul * T), cd
+                        ))
+                    dmid_s = dmid2[
+                        sm["k0"] * mul: (sm["k0"] + sm["K8"]) * mul, :
+                    ].reshape(sm["K8"], mul * T)
+                    dblocks.append(jax.lax.dot_general(
+                        C2T_refs[si][...].astype(cd), dmid_s,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(cd))                          # [jdim*I, mul*T]
+                    jm_done = sm["jm0"] + sm["jdim"]
+                if jm_done < J:
+                    dblocks.append(
+                        jnp.zeros(((J - jm_done) * I, mul * T), cd)
+                    )
+                douter = jnp.concatenate(dblocks, axis=0)
+
+                dxb = None
+                dsh_rows = []
+                for j in range(J):
+                    do_j = douter[j * I: (j + 1) * I, :]
+                    if j == 0 and self.sh0_const:
+                        c = do_j
+                    else:
+                        srep = jnp.concatenate(
+                            [sh[j: j + 1, :]] * mul, axis=1
                         )
-                dwin_ref[...] = jnp.concatenate(blocks, axis=0).astype(
-                    dwin_ref.dtype
-                )
-                accw_ref[...] = jnp.zeros(accw_ref.shape, accw_ref.dtype)
-
-            xw = x_ref[pl.ds(w0, W), :].astype(cd)
-            srcl = srcl_ref[...]
-            dstl = dstl_ref[...]
-            iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
-            one_s = (iota == srcl).astype(cd)
-            one_d = (iota == dstl).astype(cd)
-            g_x = jax.lax.dot_general(
-                one_s, xw, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(cd)
-            xb = jnp.transpose(g_x).reshape(I, mul * T)
-            sh = shT_ref[...].astype(cd)
-            Wvals = [w[...] for w in W_refs]
-            pre, w_edge = self._mlp_fwd(er_ref[...], Wvals)
-            wT2 = jnp.transpose(w_edge)                    # [P*mul, T]
-
-            # recompute forward intermediates (remat)
-            mid2, wt2, w2d = self._tp_mid2(xb, sh, wT2,
-                                           [c[...] for c in C2_refs])
-            contrib = jax.lax.dot_general(
-                w2d, one_d,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                              # [K2*mul, W] f32
-            accw_ref[...] = accw_ref[...] + contrib
-
-            # per-edge cotangent of the weighted TP, via the window gather
-            dw2d = jax.lax.dot_general(
-                dwin_ref[...], one_d,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(cd)                                   # [K2*mul, T]
-
-            # radial-weight cotangent: rows (k,u) -> sum components per
-            # path, emitted in _p2 (sections outer, groups inner) order
-            dwp2 = dw2d * mid2
-            dwt_blocks = []
-            for si in range(nSec):
-                for g, mx in enumerate(mix2):
-                    d = mx["d"]
-                    for sec in mx["secs"]:
-                        if sec["si"] != si:
-                            continue
-                        dw_acc = None
-                        for dd in range(d):
-                            r0 = (sec["k0"] + dd * sec["npg"]) * mul
-                            blk = dwp2[r0: r0 + sec["npg"] * mul, :]
-                            dw_acc = blk if dw_acc is None else dw_acc + blk
-                        dwt_blocks.append(dw_acc)          # [npg*mul, T]
-
-            # mix-weight gradients once per window, from the (recomputed)
-            # forward accumulator: dwsel_sec = accw_sec^T @ gout_window
-            @pl.when(last_ref[t] == 1)
-            def _():
-                accw = accw_ref[...].astype(cd)
-                gw = gout_ref[pl.ds(w0, W), :].astype(cd)
-                for g, mx in enumerate(mix2):
-                    d, Wg = mx["d"], mx["Wg"]
-                    for sec in mx["secs"]:
-                        dws = None
-                        for dd in range(d):
-                            c0 = (sec["k0"] + dd * sec["npg"]) * mul
-                            r0 = mx["out_row"] + dd * Wg
-                            c = jax.lax.dot_general(
-                                accw[c0: c0 + sec["npg"] * mul, :],
-                                gw[:, r0: r0 + Wg],
-                                dimension_numbers=(((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )                              # [npg*mul, Wg]
-                            dws = c if dws is None else dws + c
-                        dwsel_refs[sec["idx"]][...] = (
-                            dwsel_refs[sec["idx"]][...] + dws
-                        )
-
-            # TP-intermediate cotangent back to the wide layout for C2^T
-            dmid2 = dw2d * wt2
-            dwT2 = jnp.concatenate(dwt_blocks, axis=0)     # [P*mul, T]
-
-            # radial MLP backward (dwT2 -> d edge_radial + dW)
-            dw_edge = jnp.transpose(dwT2).astype(cd)
-            h_ins = [er_ref[...].astype(cd)]
-            for i in range(nW - 1):
-                h_ins.append(self.fc_act(pre[i]).astype(cd))
-            dh = dw_edge                                   # [T, dims[-1]]
-            for i in reversed(range(nW)):
-                dWi = jax.lax.dot_general(
-                    h_ins[i], dh,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                          # [dims[i], dims[i+1]]
-                dW_refs[i][...] = dW_refs[i][...] + dWi
-                dh = jax.lax.dot_general(
-                    dh, Wvals[i].astype(cd),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(cd)                               # [T, dims[i]]
-                if i > 0:
-                    _, act_vjp = jax.vjp(self.fc_act, pre[i - 1])
-                    dh = act_vjp(dh.astype(pre[i - 1].dtype))[0].astype(cd)
-            der_ref[...] = dh.astype(der_ref.dtype)
-
-            # adjoint per section: contraction dim shrinks to each
-            # section's K8 (the big MXU win of the per-l2 split); inactive
-            # sh rows (irreps with no paths) get zero blocks
-            dblocks = []
-            jm_done = 0
-            for si, sm in enumerate(secs_meta):
-                if sm["jm0"] > jm_done:
-                    dblocks.append(jnp.zeros(
-                        ((sm["jm0"] - jm_done) * I, mul * T), cd
-                    ))
-                dmid_s = dmid2[
-                    sm["k0"] * mul: (sm["k0"] + sm["K8"]) * mul, :
-                ].reshape(sm["K8"], mul * T)
-                dblocks.append(jax.lax.dot_general(
-                    C2T_refs[si][...].astype(cd), dmid_s,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(cd))                              # [jdim*I, mul*T]
-                jm_done = sm["jm0"] + sm["jdim"]
-            if jm_done < J:
-                dblocks.append(jnp.zeros(((J - jm_done) * I, mul * T), cd))
-            douter = jnp.concatenate(dblocks, axis=0)
-
-            dxb = None
-            dsh_rows = []
-            for j in range(J):
-                do_j = douter[j * I: (j + 1) * I, :]
-                if j == 0 and self.sh0_const:
-                    c = do_j
-                else:
-                    srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
-                    c = srep * do_j
-                dxb = c if dxb is None else dxb + c
+                        c = srep * do_j
+                    dxb = c if dxb is None else dxb + c
+                    if self.compute_dsh:
+                        s = jnp.sum(do_j * xb, axis=0)
+                        dsh_rows.append(jnp.sum(s.reshape(mul, T), axis=0,
+                                                keepdims=True))
                 if self.compute_dsh:
-                    s = jnp.sum(do_j * xb, axis=0)
-                    dsh_rows.append(jnp.sum(s.reshape(mul, T), axis=0,
-                                            keepdims=True))
+                    dsh_parts.append(jnp.concatenate(dsh_rows, axis=0))
+                # scatter dx rows back into the window accumulator
+                dxT = jnp.transpose(dxb.reshape(I * mul, T))  # [T, I*mul]
+                contribX = jax.lax.dot_general(
+                    one_s, dxT, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                          # [W, I*mul]
+                cur = dx_ref[pl.ds(w0, W), :]
+                dx_ref[pl.ds(w0, W), :] = cur + contribX.astype(dx_ref.dtype)
+
             if self.compute_dsh:
-                dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0).astype(
+                dsh_ref[...] = jnp.concatenate(dsh_parts, axis=1).astype(
                     dsh_ref.dtype
                 )
             else:
                 dsh_ref[...] = jnp.zeros(dsh_ref.shape, dsh_ref.dtype)
-            # scatter dx rows back into the window accumulator
-            dxT = jnp.transpose(dxb.reshape(I * mul, T))   # [T, I*mul]
-            contribX = jax.lax.dot_general(
-                one_s, dxT, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                              # [W, I*mul]
-            cur = dx_ref[pl.ds(w0, W), :]
-            dx_ref[pl.ds(w0, W), :] = cur + contribX.astype(dx_ref.dtype)
+            der_ref[...] = jnp.concatenate(der_parts, axis=0).astype(
+                der_ref.dtype
+            )
+            for i in range(nW):
+                dW_refs[i][...] = dW_refs[i][...] + dW_loc[i]
 
         return kernel
 
@@ -2028,10 +2101,16 @@ class PallasFullConv(PallasUVUConv):
         C2s, C2Ts = self._C2s, self._C2Ts
         K2 = self.K2
         out_rows = self.out_rows
-        fwd_kernel = self._full_fwd_kernel()
-        bwd_kernel = self._full_bwd_kernel()
+        # edge tiles per grid step (see _full_fwd_kernel); falls back to 1
+        # whenever the edge capacity is not a multiple of B*T
+        B = _tile_batch_env()
+        if E % (B * T):
+            B = 1
+        fwd_kernel = self._full_fwd_kernel(B)
+        bwd_kernel = self._full_bwd_kernel(B)
         interpret = _use_interpret()
-        grid = (E // T,)
+        grid = (E // (B * T),)
+        BT = B * T
 
         def edge_spec(shape):
             return pl.BlockSpec(shape, lambda t, *_: (0, t))
@@ -2041,11 +2120,11 @@ class PallasFullConv(PallasUVUConv):
                 num_scalar_prefetch=3,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),   # src local
-                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),   # dst local
+                    pl.BlockSpec((1, BT), lambda t, *_: (0, t)),  # src local
+                    pl.BlockSpec((1, BT), lambda t, *_: (0, t)),  # dst local
                     pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0)),
-                    edge_spec((J, T)),
-                    pl.BlockSpec((T, nb), lambda t, *_: (t, 0)),
+                    edge_spec((J, BT)),
+                    pl.BlockSpec((BT, nb), lambda t, *_: (t, 0)),
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in Ws
                 ] + [
@@ -2075,11 +2154,11 @@ class PallasFullConv(PallasUVUConv):
                 num_scalar_prefetch=3,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),
-                    pl.BlockSpec((1, T), lambda t, *_: (0, t)),
+                    pl.BlockSpec((1, BT), lambda t, *_: (0, t)),
+                    pl.BlockSpec((1, BT), lambda t, *_: (0, t)),
                     pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0)),
-                    edge_spec((J, T)),
-                    pl.BlockSpec((T, nb), lambda t, *_: (t, 0)),
+                    edge_spec((J, BT)),
+                    pl.BlockSpec((BT, nb), lambda t, *_: (t, 0)),
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in Ws
                 ] + [
@@ -2094,8 +2173,8 @@ class PallasFullConv(PallasUVUConv):
                 ],
                 out_specs=[
                     pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0)),  # dx
-                    edge_spec((J, T)),                             # dsh
-                    pl.BlockSpec((T, nb), lambda t, *_: (t, 0)),       # der
+                    edge_spec((J, BT)),                            # dsh
+                    pl.BlockSpec((BT, nb), lambda t, *_: (t, 0)),      # der
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in Ws
                 ] + [

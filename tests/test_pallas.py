@@ -251,6 +251,46 @@ def test_species_sc_matches_fused():
         assert float(jnp.abs(u - v).max()) / denom < 1e-4
 
 
+def test_full_conv_tile_batched_matches(monkeypatch):
+    """E3_PALLAS_TILEBATCH=2 — two edge tiles per kernel grid step (MXU/VPU
+    interleaving across sub-tiles) — must match the XLA fused reference
+    exactly like the per-tile grid does, values and grads.  E=512, T=32 so
+    the batched grid (B*T=64) divides evenly and B=2 is actually taken."""
+    monkeypatch.setenv("E3_PALLAS_TILEBATCH", "2")
+    conv, params, full, fused, fc, gb, x, sh, er, N = setup_full(seed=7)
+    assert gb.edge_capacity % 64 == 0
+    lp, fcp = params["tp"]["linear"], params["fc"]
+    win = jnp.asarray(gb["_edge_tile_win"])
+    tfirst = jnp.asarray(gb["_edge_tile_first"])
+    tlast = jnp.asarray(gb["_edge_tile_last"])
+    srcl = jnp.asarray(gb["_edge_src_local"])
+    dstl = jnp.asarray(gb["_edge_dst_local"])
+
+    a = full(fcp, lp, x, er, sh, win, tfirst, tlast, srcl, dstl, N,
+             pre_scale=0.5)
+    b = _ref_out(fused, fc, fcp, lp, x, sh, er, gb, N)
+    rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+    assert rel < 1e-5, rel
+
+    def loss_full(fcp_, lp_, x_, sh_, er_):
+        out = full(fcp_, lp_, x_, er_, sh_, win, tfirst, tlast, srcl, dstl,
+                   N, pre_scale=0.5)
+        return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
+                                     ).reshape(out.shape))
+
+    def loss_ref(fcp_, lp_, x_, sh_, er_):
+        out = _ref_out(fused, fc, fcp_, lp_, x_, sh_, er_, gb, N)
+        return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
+                                     ).reshape(out.shape))
+
+    ga = jax.grad(loss_full, argnums=(0, 1, 2, 3, 4))(fcp, lp, x, sh, er)
+    gb_ = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(fcp, lp, x, sh, er)
+    for a_, b_ in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb_)):
+        denom = max(float(jnp.abs(b_).max()), 1e-6)
+        assert float(jnp.abs(a_ - b_).max()) / denom < 2e-4
+
+
 def test_second_order_conv_double_grad_matches():
     """grad_order=2 routing (force training): the nested custom_vjp wrapper
     must give the same DOUBLE gradients as the pure-XLA fused path — the
