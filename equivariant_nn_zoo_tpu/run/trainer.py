@@ -234,7 +234,9 @@ class Trainer:
             components=self.metrics_components,
             **pruneArgs(prefix="metrics", **self.kwargs),
         )
-        self._metrics_jit = None  # rebuilt against the new Metrics object
+        # the step jits close over metrics.batch_stats — rebuild them
+        # against the new Metrics object
+        self._train_step = None
         if not (
             self.metric_key.lower().startswith("validation")
             or self.metric_key.lower().startswith("training")
@@ -304,6 +306,17 @@ class Trainer:
                 return loss, contrib, select(out.data, batch)
 
         watch = bool(self.watch_freq)
+        # metric partial sums computed INSIDE the step jit: one device
+        # dispatch per batch instead of two (the tunneled backend pays real
+        # RPC latency per dispatch; see STATUS "end-to-end" notes).
+        # batch_stats is pure, so closing over the bound method is safe;
+        # init_metrics invalidates the steps so a new Metrics object rebuilds
+        # them.
+        metric_stats = getattr(self, "metrics", None)
+        metric_stats = metric_stats.batch_stats if metric_stats else None
+
+        def stats_of(out, batch):
+            return metric_stats(out, batch.data) if metric_stats else {}
 
         def train_step(params, opt_state, ema, batch):
             def loss_fn(p):
@@ -320,11 +333,12 @@ class Trainer:
             # wandb.watch parity: keep the raw gradients as a step output so
             # the watch hook can histogram them (reference: trainer.py:905-907)
             aux = grads if watch else ()
-            return params, opt_state, ema, loss, contrib, out, aux
+            return (params, opt_state, ema, loss, contrib, out,
+                    stats_of(out, batch), aux)
 
         def eval_step(params, batch):
             loss, contrib, out = forward(params, batch)
-            return loss, contrib, out
+            return loss, contrib, out, stats_of(out, batch)
 
         # gradient accumulation (regression path): K micro-batch grads are
         # summed on device, the optimizer consumes their mean every K-th
@@ -341,7 +355,7 @@ class Trainer:
                 loss_fn, has_aux=True
             )(params)
             acc = jax.tree_util.tree_map(jnp.add, acc, grads)
-            return acc, loss, contrib, out
+            return acc, loss, contrib, out, stats_of(out, batch)
 
         k_acc = max(1, int(getattr(self, "grad_acc", 1) or 1))
 
@@ -376,13 +390,13 @@ class Trainer:
             data = put_sharded(data, self.mesh)
         if validation:
             params = self.ema["params"] if self.use_ema else self.params
-            loss, contrib, out = self._eval_step(params, data)
+            loss, contrib, out, stats = self._eval_step(params, data)
         elif int(getattr(self, "grad_acc", 1) or 1) > 1:
             if self._acc is None:
                 self._acc = jax.tree_util.tree_map(
                     jnp.zeros_like, self.params
                 )
-            self._acc, loss, contrib, out = self._accum_step(
+            self._acc, loss, contrib, out, stats = self._accum_step(
                 self.params, self._acc, data
             )
             self._acc_count += 1
@@ -400,6 +414,7 @@ class Trainer:
                 loss,
                 contrib,
                 out,
+                stats,
                 grads,
             ) = self._train_step(self.params, self.opt_state, self.ema, data)
             if self.watch_freq:
@@ -409,13 +424,9 @@ class Trainer:
         if self.equivariance_test:
             self.equivarianceTest(out, data)
         self.batch_losses = self.loss_stat(loss, contrib)
-        # metric math under ONE jitted dispatch (each eager op pays real
-        # RPC latency on the tunneled backend); accumulation stays lazy
-        if getattr(self, "_metrics_jit", None) is None:
-            self._metrics_jit = jax.jit(self.metrics.batch_stats)
-        self.batch_metrics = self.metrics.ingest(
-            self._metrics_jit(out, data.data)
-        )
+        # metric partial sums came out of the step jit itself (one dispatch
+        # per batch); accumulation stays lazy on device
+        self.batch_metrics = self.metrics.ingest(stats)
 
     # ------------------------------------------------------ wandb.watch hook
 
