@@ -193,7 +193,11 @@ def make_batches(mols, batch_size, n_batches=4, window=128):
         if len(batches) == n_batches:
             break
         node_cap += window
-        edge_cap += tile or 128
+        # keep E divisible by B*tile for the tile-batched kernel grid
+        from equivariant_nn_zoo_tpu.ops.pallas.fused_conv import \
+            _tile_batch_env
+
+        edge_cap += (tile or 128) * _tile_batch_env()
     return [jax.device_put(gb) for gb in batches], node_cap, edge_cap
 
 

@@ -874,18 +874,20 @@ class PallasFullConv(PallasUVUConv):
             def _():
                 acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-            srcl_all = srcl_ref[...]                      # [1, B*T] i32
-            dstl_all = dstl_ref[...]
-            sh_all = shT_ref[...].astype(cd)              # [J, B*T]
-            er_all = er_ref[...]                          # [B*T, nb]
+            # per-sub-tile operands are loaded straight from the refs with
+            # static tile-aligned slices: a value-level slice of the whole
+            # [*, B*T] load keeps an in-register lane offset (b*T) that
+            # Mosaic cannot legalize through vector.broadcast ("Invalid
+            # input layout" at B>1); a ref load at a 128-multiple offset
+            # lands at lane offset 0.
             Wvals = [w[...] for w in W_refs]
             C2vals = [c[...] for c in C2_refs]
             for b in range(B):
                 ti = t * B + b
                 w0 = pl.multiple_of(win0_ref[ti], 8)
                 xw = x_ref[pl.ds(w0, W), :].astype(cd)   # [W, I*mul]
-                srcl = srcl_all[:, b * T: (b + 1) * T]
-                dstl = dstl_all[:, b * T: (b + 1) * T]
+                srcl = srcl_ref[:, b * T: (b + 1) * T]
+                dstl = dstl_ref[:, b * T: (b + 1) * T]
                 iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
                 one_s = (iota == srcl).astype(cd)
                 one_d = (iota == dstl).astype(cd)
@@ -896,11 +898,12 @@ class PallasFullConv(PallasUVUConv):
                 ).astype(cd)                              # [T, I*mul]
                 xb = jnp.transpose(g_x).reshape(I, mul * T)
                 _, w_edge = self._mlp_fwd(
-                    er_all[b * T: (b + 1) * T, :], Wvals
+                    er_ref[b * T: (b + 1) * T, :], Wvals
                 )
                 wT2 = jnp.transpose(w_edge)               # [P*mul, T]
                 _, _, w2d = self._tp_mid2(
-                    xb, sh_all[:, b * T: (b + 1) * T], wT2, C2vals,
+                    xb, shT_ref[:, b * T: (b + 1) * T].astype(cd),
+                    wT2, C2vals,
                 )
                 # scatter the UNMIXED weighted TP into the window
                 # accumulator: one MXU-shaped matmul (M = K2*mul) instead
@@ -994,10 +997,9 @@ class PallasFullConv(PallasUVUConv):
                         dwsel_refs[s].shape, dwsel_refs[s].dtype
                     )
 
-            srcl_all = srcl_ref[...]
-            dstl_all = dstl_ref[...]
-            sh_all = shT_ref[...].astype(cd)
-            er_all = er_ref[...]
+            # sub-tile operands load from the refs at 128-multiple offsets
+            # (see _full_fwd_kernel: value-level lane-offset slices do not
+            # legalize at B>1)
             Wvals = [w[...] for w in W_refs]
             C2vals = [c[...] for c in C2_refs]
             dW_loc = [None] * nW
@@ -1051,8 +1053,8 @@ class PallasFullConv(PallasUVUConv):
                                               accw_ref.dtype)
 
                 xw = x_ref[pl.ds(w0, W), :].astype(cd)
-                srcl = srcl_all[:, b * T: (b + 1) * T]
-                dstl = dstl_all[:, b * T: (b + 1) * T]
+                srcl = srcl_ref[:, b * T: (b + 1) * T]
+                dstl = dstl_ref[:, b * T: (b + 1) * T]
                 iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
                 one_s = (iota == srcl).astype(cd)
                 one_d = (iota == dstl).astype(cd)
@@ -1061,8 +1063,8 @@ class PallasFullConv(PallasUVUConv):
                     preferred_element_type=jnp.float32,
                 ).astype(cd)
                 xb = jnp.transpose(g_x).reshape(I, mul * T)
-                sh = sh_all[:, b * T: (b + 1) * T]
-                er = er_all[b * T: (b + 1) * T, :]
+                sh = shT_ref[:, b * T: (b + 1) * T].astype(cd)
+                er = er_ref[b * T: (b + 1) * T, :]
                 pre, w_edge = self._mlp_fwd(er, Wvals)
                 wT2 = jnp.transpose(w_edge)                # [P*mul, T]
 
