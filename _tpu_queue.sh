@@ -1,28 +1,21 @@
 #!/bin/bash
 # Round-3 TPU bench queue — run once when the tunnel returns.
-# Invoked by /tmp/when_tpu.sh; editable while the watcher sleeps (the
-# watcher execs this file fresh at fire time).  ONE CPU: nothing else
-# host-heavy may run while this does (flag: /tmp/tpu_bench_running).
+# ONE CPU: nothing else host-heavy may run while this does
+# (flag: /tmp/tpu_bench_running).
 cd /root/repo
+touch /tmp/tpu_bench_running
 echo "=== queue start $(date)"
-echo "=== headline (config_energy, tile-batch B=1 default) $(date)"
+echo "=== headline (config_energy) $(date)"
 timeout 1500 python bench.py
-echo "=== headline ablation: E3_PALLAS_TILEBATCH=2 $(date)"
-E3_PALLAS_TILEBATCH=2 timeout 1200 python bench.py
-echo "=== headline ablation: E3_PALLAS_TILEBATCH=4 $(date)"
-E3_PALLAS_TILEBATCH=4 timeout 1200 python bench.py
 echo "=== hamiltonian b16 (pairwise kernel default-on) $(date)"
 timeout 2700 python bench.py hamiltonian 16
 echo "=== hamiltonian b16 ablation: E3_PALLAS_PAIRWISE=0 $(date)"
 E3_PALLAS_PAIRWISE=0 timeout 1500 python bench.py hamiltonian 16
-echo "=== hamiltonian b128 $(date)"
-timeout 2700 python bench.py hamiltonian 128
 echo "=== energy_force (apply_T radial MLP) $(date)"
 timeout 2400 python bench.py energy_force
 echo "=== diffusion $(date)"
 timeout 1500 python bench.py diffusion
-echo "=== dipole $(date)"
-timeout 1200 python bench.py dipole
 echo "=== e2e trainer-path $(date)"
 timeout 1800 python bench.py e2e
 echo "=== DONE $(date)"
+rm -f /tmp/tpu_bench_running

@@ -375,6 +375,17 @@ class PallasPairwiseTP:
         return wsel_all.T, wsel_all
 
     # --------------------------------------------------------------- kernels
+    @functools.cached_property
+    def _sec_ents(self) -> Dict[int, List[dict]]:
+        """Mix entries grouped by section, in ``sorted(sm["gq"])`` group
+        order (the C2 row order)."""
+        out: Dict[int, List[dict]] = {si: [] for si in range(len(self._secs))}
+        for ent in self._wsel_meta:
+            out[ent["si"]].append(ent)
+        for si in out:
+            out[si].sort(key=lambda e: e["g"])
+        return out
+
     def _mid_of(self, a, bw, C2, si):
         """Per-section TP intermediate [K8*mul, T] from in-VMEM operands.
         ``C2`` is the loaded stacked operator [S, K8max, rows_max]."""
@@ -406,39 +417,46 @@ class PallasPairwiseTP:
             bw = bwT[...]
             wT = wselT_all[...]
             C2 = C2all[...]
-            mids = [self._mid_of(a, bw, C2, si)
-                    for si in range(len(self._secs))]
+            # Stream sections: each section's TP intermediate is consumed
+            # into per-group f32 accumulators immediately (the mix dot is
+            # linear in its row blocks), so only ONE section's mid is live
+            # at a time.  Materializing all mids first (~52MB at the
+            # hamiltonian head size) spills registers past the VMEM budget.
+            o_acc = [jnp.zeros((mx["Wg"], mx["d"] * T), jnp.float32)
+                     for mx in mix]
+            for si in range(len(self._secs)):
+                mid = self._mid_of(a, bw, C2, si)
+                sm = self._secs[si]
+                for ent in self._sec_ents[si]:
+                    g = ent["g"]
+                    mx = mix[g]
+                    blk = self._ent_block(mid, ent, sm, mx["d"])
+                    wt = wT[:mx["Wg"],
+                            mx["col0"] + ent["gofs"]:
+                            mx["col0"] + ent["gofs"] + ent["npg"] * mul]
+                    o_acc[g] = o_acc[g] + jax.lax.dot_general(
+                        wt, blk,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                    # [Wg, d*T]
             outs = []
             for g, mx in enumerate(mix):
-                # mix the whole group in ONE MXU dot: rows = the group's
-                # (section, path, u) mid rows, lanes = (component, edge)
-                blk = self._group_block(mids, mx)        # [gcols, d*T]
-                wt = wT[:mx["Wg"], mx["col0"]: mx["col0"] + mx["gcols"]]
-                o = jax.lax.dot_general(
-                    wt, blk,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(cd)                             # [Wg, d*T]
+                o = o_acc[g].astype(cd)
                 outs.extend(o[:, dd * T: (dd + 1) * T]
                             for dd in range(mx["d"]))
             out[...] = jnp.concatenate(outs, axis=0)
 
         return kernel
 
-    def _group_block(self, mids, mx):
-        """Stack one group's mid rows: [gcols, T] per component dd from its
-        sections' (path, u) row slices, lane-concat over dd -> [gcols, d*T].
-        All slices are mul-aligned (free register stacking)."""
+    def _ent_block(self, mid, ent, sm, d):
+        """One mix entry's rows of a section mid: per-component [npg*mul, T]
+        slices, lane-concat over dd -> [npg*mul, d*T].  All slices are
+        mul-aligned (free register stacking)."""
         mul = self.mul
         cols = []
-        for dd in range(mx["d"]):
-            rows = []
-            for ent in mx["secs"]:
-                sm = self._secs[ent["si"]]
-                r0 = (ent["k0"] - sm["k0"] + dd * ent["npg"]) * mul
-                rows.append(mids[ent["si"]][r0: r0 + ent["npg"] * mul, :])
-            cols.append(rows[0] if len(rows) == 1
-                        else jnp.concatenate(rows, axis=0))
+        for dd in range(d):
+            r0 = (ent["k0"] - sm["k0"] + dd * ent["npg"]) * mul
+            cols.append(mid[r0: r0 + ent["npg"] * mul, :])
         return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
 
     def _go_lanes(self, go, mx):
@@ -449,38 +467,28 @@ class PallasPairwiseTP:
                 for dd in range(mx["d"])]
         return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
 
-    def _dmid_parts(self, ws, go):
-        """Mix backward, one MXU dot per group: dfull_g [gcols, d*T] =
-        wsel_g @ go_lanes_g; sliced back into per-(section, g, dd) blocks
-        keyed for section assembly."""
-        mul, T = self.mul, self.tile
-        cd = self.compute_dtype
-        parts: Dict = {}
-        for g, mx in enumerate(self._mix):
-            wt = ws[mx["col0"]: mx["col0"] + mx["gcols"], : mx["Wg"]]
-            dfull = jax.lax.dot_general(
-                wt, self._go_lanes(go, mx),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(cd)                                 # [gcols, d*T]
-            for ent in mx["secs"]:
-                for dd in range(mx["d"]):
-                    parts[(ent["si"], g, dd)] = dfull[
-                        ent["gofs"]: ent["gofs"] + ent["npg"] * mul,
-                        dd * T: (dd + 1) * T,
-                    ]
-        return parts
-
-    def _douter_of(self, parts, C2T, si):
-        """Per-section outer cotangent: assemble dmid in local-k order from
-        the mix-backward parts, then the adjoint CG matmul."""
+    def _douter_of(self, ws, go_l, C2T, si):
+        """Per-section outer cotangent, built WITHOUT the all-sections
+        mix-backward parts table: each of the section's mix entries runs its
+        own small dot (wsel_ent @ go_lanes_g), the per-(g, dd) blocks are
+        assembled into dmid in local-k order, then the adjoint CG matmul.
+        Keeps only one section's intermediates live (VMEM budget)."""
         mul, T = self.mul, self.tile
         cd = self.compute_dtype
         sm = self._secs[si]
         blocks = []
-        for g in sorted(sm["gq"]):
-            for dd in range(self._mix[g]["d"]):
-                blocks.append(parts[(si, g, dd)])
+        for ent in self._sec_ents[si]:
+            g = ent["g"]
+            mx = self._mix[g]
+            wt = ws[mx["col0"] + ent["gofs"]:
+                    mx["col0"] + ent["gofs"] + ent["npg"] * mul, : mx["Wg"]]
+            dfull = jax.lax.dot_general(
+                wt, go_l[g],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)                                 # [npg*mul, d*T]
+            for dd in range(mx["d"]):
+                blocks.append(dfull[:, dd * T: (dd + 1) * T])
         dmid = jnp.concatenate(blocks, axis=0)
         if sm["K8"] > sm["used"]:
             dmid = jnp.concatenate([
@@ -503,24 +511,33 @@ class PallasPairwiseTP:
             bw = bwT[...]
             C2 = C2all[...]
             go = gout[...].astype(self.compute_dtype)
-            mids = [self._mid_of(a, bw, C2, si)
-                    for si in range(len(self._secs))]
-            dws_parts = []
-            for g, mx in enumerate(self._mix):
-                blk = self._group_block(mids, mx)        # [gcols, d*T]
-                dws = jax.lax.dot_general(
-                    blk, self._go_lanes(go, mx),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                        # [gcols, Wg]
-                if mx["Wg"] < self.Wmax:
-                    dws = jnp.concatenate([
-                        dws,
-                        jnp.zeros((dws.shape[0], self.Wmax - mx["Wg"]),
-                                  jnp.float32),
-                    ], axis=1)
-                dws_parts.append(dws)
-            dws_all = jnp.concatenate(dws_parts, axis=0)
+            go_l = [self._go_lanes(go, mx) for mx in self._mix]
+            # stream sections (see _fwd_kernel): per-entry dws blocks are
+            # [npg*mul, Wg] dots of the section's mid rows against the
+            # group's go lanes; only one mid is live at a time
+            dws_ent: Dict[int, jnp.ndarray] = {}
+            for si in range(len(self._secs)):
+                mid = self._mid_of(a, bw, C2, si)
+                sm = self._secs[si]
+                for ent in self._sec_ents[si]:
+                    mx = self._mix[ent["g"]]
+                    blk = self._ent_block(mid, ent, sm, mx["d"])
+                    dws = jax.lax.dot_general(
+                        blk, go_l[ent["g"]],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                    # [npg*mul, Wg]
+                    if mx["Wg"] < self.Wmax:
+                        dws = jnp.concatenate([
+                            dws,
+                            jnp.zeros((dws.shape[0], self.Wmax - mx["Wg"]),
+                                      jnp.float32),
+                        ], axis=1)
+                    dws_ent[id(ent)] = dws
+            # assemble in the stacked-wsel row order (group-major)
+            dws_all = jnp.concatenate(
+                [dws_ent[id(ent)] for ent in self._wsel_meta], axis=0
+            )
             first_tile = pl.program_id(0) == 0
 
             @pl.when(first_tile)
@@ -543,12 +560,12 @@ class PallasPairwiseTP:
             ws = wsel_all[...]
             C2T = C2Tall[...]
             go = gout[...].astype(self.compute_dtype)
-            parts = self._dmid_parts(ws, go)
+            go_l = [self._go_lanes(go, mx) for mx in self._mix]
             da_acc: Dict = {}                            # i1 slot -> [d1, X]
             for si, sm in enumerate(self._secs):
                 d1, d2 = sm["d1"], sm["d2"]
                 L = len(sm["plist"])
-                douter = self._douter_of(parts, C2T, si)  # [(i,q,j), X]
+                douter = self._douter_of(ws, go_l, C2T, si)  # [(i,q,j), X]
                 bw_blk = bw[sm["bw0"]: sm["bw0"] + L * d2, :]
                 contrib = jnp.concatenate([
                     jnp.sum(douter[i * L * d2: (i + 1) * L * d2, :] * bw_blk,
@@ -580,12 +597,12 @@ class PallasPairwiseTP:
             ws = wsel_all[...]
             C2T = C2Tall[...]
             go = gout[...].astype(self.compute_dtype)
-            parts = self._dmid_parts(ws, go)
+            go_l = [self._go_lanes(go, mx) for mx in self._mix]
             blocks = []  # sections enumerate bw rows contiguously in order
             for si, sm in enumerate(self._secs):
                 d1, d2 = sm["d1"], sm["d2"]
                 L = len(sm["plist"])
-                douter = self._douter_of(parts, C2T, si)  # [(i,q,j), X]
+                douter = self._douter_of(ws, go_l, C2T, si)  # [(i,q,j), X]
                 dbw = None
                 for i in range(d1):
                     t = (douter[i * L * d2: (i + 1) * L * d2, :]
