@@ -4,6 +4,7 @@
 # (flag: /tmp/tpu_bench_running).
 cd /root/repo
 touch /tmp/tpu_bench_running
+trap 'rm -f /tmp/tpu_bench_running' EXIT
 echo "=== queue start $(date)"
 echo "=== headline (config_energy) $(date)"
 timeout 1500 python bench.py

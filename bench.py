@@ -265,6 +265,32 @@ def measure_steps(step, n_steps=200, trace_check=False, payload=None):
     return wall_step
 
 
+def kernel_provenance():
+    """Which compute paths are live for THIS run (read at emit time, so a
+    runtime fallback that flips the env flags is reported truthfully).
+    Added after round 3, where a silent pairwise-kernel fallback made an
+    XLA number read as a kernel result (VERDICT.md weak #6)."""
+    import os
+
+    import jax
+
+    backend = jax.default_backend()
+    pallas = backend == "tpu" and os.environ.get("E3_PALLAS", "1") == "1"
+    pw = os.environ.get("E3_PALLAS_PAIRWISE", "")
+    kernels = {
+        "conv": pallas,
+        "sc": pallas,
+        "pairwise": (pallas and pw != "0") or pw == "force",
+        "edgeconv": pallas
+        and os.environ.get("E3_PALLAS_EDGECONV", "1") == "1",
+    }
+    return {
+        "backend": backend,
+        "path": "pallas" if pallas else "xla",
+        "kernels": kernels,
+    }
+
+
 def emit(metric, graphs_per_sec, extra=None):
     rec = {
         "metric": metric,
@@ -273,6 +299,7 @@ def emit(metric, graphs_per_sec, extra=None):
     }
     if extra:
         rec.update(extra)
+    rec.update(kernel_provenance())
     print(json.dumps(rec))
 
 
@@ -321,15 +348,9 @@ def bench_energy():
 
     wall = measure_steps(step, n_steps=200, trace_check=True)
     gps = batch_size / wall
-    print(
-        json.dumps(
-            {
-                "metric": "qm9_config_energy_train_throughput",
-                "value": round(gps, 2),
-                "unit": "graphs/sec/chip",
-                "vs_baseline": round(gps / A100_REFERENCE_GRAPHS_PER_SEC, 3),
-            }
-        )
+    emit(
+        "qm9_config_energy_train_throughput", gps,
+        {"vs_baseline": round(gps / A100_REFERENCE_GRAPHS_PER_SEC, 3)},
     )
     return gps
 
@@ -511,6 +532,7 @@ def bench_hamiltonian(batch_size=None):
         return train_step, params, opt_state
 
     train_step, params, opt_state = make_step()
+    fell_back = False
     try:  # compile check: fall back to the XLA head if a kernel rejects
         params, opt_state, l0 = train_step(params, opt_state, batches[0])
         jax.block_until_ready(l0)
@@ -519,6 +541,7 @@ def bench_hamiltonian(batch_size=None):
               "falling back to E3_PALLAS_PAIRWISE=0", file=sys.stderr)
         os.environ["E3_PALLAS_PAIRWISE"] = "0"
         os.environ["E3_PALLAS_EDGECONV"] = "0"
+        fell_back = True
         train_step, params, opt_state = make_step()
 
     state = [params, opt_state]
@@ -531,7 +554,8 @@ def bench_hamiltonian(batch_size=None):
 
     wall = measure_steps(step, n_steps=300)
     emit("hamiltonian_train_throughput", batch_size / wall,
-         {"ms_per_step": round(wall * 1e3, 2), "batch_size": batch_size})
+         {"ms_per_step": round(wall * 1e3, 2), "batch_size": batch_size,
+          "fallback": fell_back})
 
 
 def bench_e2e():

@@ -221,6 +221,11 @@ class DataLoader:
                 thread_name_prefix="e3loader",
             )
         self.dropped_graphs = 0
+        # overflow graphs deferred past the epoch's last batch roll into the
+        # NEXT epoch's first batch (reference parity: the torch loader never
+        # loses data, e3_layers/data/dataloader.py:109-117 just auto-resets).
+        # In-memory only: a checkpoint resume restarts with an empty carry.
+        self._carry: List = []
 
     def __len__(self):
         n = len(self.dataset)
@@ -342,19 +347,24 @@ class DataLoader:
         """Batches with overflow deferral: graphs that don't fit the static
         capacities are carried to the FRONT of the next batch instead of
         dropped — tight (bootstrap-max) capacities then cost an occasional
-        smaller effective batch, never data."""
-        carry: List = []
+        smaller effective batch, never data.  Graphs still deferred at epoch
+        end persist in ``self._carry`` and lead the next epoch's first
+        batch."""
+        carry: List = self._carry
+        self._carry = []
         items_it = self._item_stream()
         n_batches = len(self)
+        _end = object()
         for _ in range(n_batches):
-            fresh = []
-            for item in items_it:
-                fresh.append(item)
-                if len(fresh) == self.batch_size:
+            # fill from the carry first so the backlog drains instead of
+            # compounding; top up with fresh items to a full batch
+            while len(carry) < self.batch_size:
+                item = next(items_it, _end)
+                if item is _end:
                     break
-            items = carry + fresh
-            carry = items[self.batch_size:]
-            items = items[: self.batch_size]
+                carry.append(item)
+            items = carry[: self.batch_size]
+            carry = carry[self.batch_size:]
             out = self._make_batch_items(items)
             if out.dropped and self.num_shards == 1:
                 nd = out.dropped
@@ -369,11 +379,14 @@ class DataLoader:
                     f"{out.dropped} graphs (total {self.dropped_graphs})"
                 )
             yield out
+        # the epoch's unconsumed tail (deferred overflows plus the fresh
+        # items they displaced) leads the next epoch — nothing is dropped
+        carry.extend(items_it)
         if carry:
-            self.dropped_graphs += len(carry)
-            logging.warning(
-                f"epoch end: {len(carry)} deferred graphs did not fit any "
-                f"batch (total dropped {self.dropped_graphs})"
+            self._carry = carry
+            logging.info(
+                "epoch end: %d deferred graphs carried into the next epoch",
+                len(carry),
             )
 
     def __iter__(self):

@@ -515,7 +515,10 @@ class PallasPairwiseTP:
             # stream sections (see _fwd_kernel): per-entry dws blocks are
             # [npg*mul, Wg] dots of the section's mid rows against the
             # group's go lanes; only one mid is live at a time
-            dws_ent: Dict[int, jnp.ndarray] = {}
+            # keyed by the stable (section, group) pair — unique per entry
+            # by construction (one ent per (si, g) in _wsel_meta) and robust
+            # to _sec_ents/_wsel_meta ever holding copies of the dicts
+            dws_ent: Dict[tuple, jnp.ndarray] = {}
             for si in range(len(self._secs)):
                 mid = self._mid_of(a, bw, C2, si)
                 sm = self._secs[si]
@@ -533,10 +536,10 @@ class PallasPairwiseTP:
                             jnp.zeros((dws.shape[0], self.Wmax - mx["Wg"]),
                                       jnp.float32),
                         ], axis=1)
-                    dws_ent[id(ent)] = dws
+                    dws_ent[(ent["si"], ent["g"])] = dws
             # assemble in the stacked-wsel row order (group-major)
             dws_all = jnp.concatenate(
-                [dws_ent[id(ent)] for ent in self._wsel_meta], axis=0
+                [dws_ent[(ent["si"], ent["g"])] for ent in self._wsel_meta], axis=0
             )
             first_tile = pl.program_id(0) == 0
 

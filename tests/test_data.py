@@ -116,10 +116,33 @@ def test_loader_defers_overflow(tmp_path):
     batches = list(dl)
     for b in batches:
         seen += float(np.asarray(b["_graph_mask"]).sum())
-    # graphs deferred past the final batch are counted as dropped;
-    # everything else must have been emitted exactly once
-    assert seen + dl.dropped_graphs == 16
+    # graphs deferred past the final batch carry into the NEXT epoch —
+    # nothing is ever dropped
+    assert dl.dropped_graphs == 0
+    assert seen + len(dl._carry) == 16
     assert seen > 8  # deferral actually produced fuller batches than drops
+
+
+def test_loader_epoch_carry_never_drops(tmp_path):
+    """Graphs deferred past an epoch's last batch lead the next epoch: over
+    k epochs every graph is consumed exactly k times (modulo the final
+    pending carry) and ``dropped_graphs`` stays 0.  Reference parity: the
+    torch loader never loses data (e3_layers/data/dataloader.py:109-117)."""
+    write_file(tmp_path / "a.hdf5", n_mols=16)
+    ds = CondensedDataset(path=str(tmp_path / "a.hdf5"))
+    sizes = [int(n) for n in np.asarray(ds["_n_nodes"]).reshape(-1)]
+    tight = int(np.ceil(np.mean(sizes) * 3)) + 1
+    dl = DataLoader(ds, batch_size=4, node_capacity=tight,
+                    edge_capacity=512, prefetch=0, shuffle=False)
+    k = 3
+    seen = 0.0
+    for _ in range(k):
+        for b in dl:
+            seen += float(np.asarray(b["_graph_mask"]).sum())
+    assert dl.dropped_graphs == 0
+    assert seen + len(dl._carry) == k * 16
+    # the carry is bounded (it drains at each epoch start, not accumulates)
+    assert len(dl._carry) < 16
 
 
 def test_loader_workers_match_serial(tmp_path):
