@@ -19,16 +19,33 @@
 #
 # Smoke mode (no dataset argument) runs the same pipeline end-to-end on a
 # small synthetic QM9-format file so the recipe itself stays tested.
+#
+# DRY_RUN=1 prints the exact conversion/training commands without running
+# them (used by tests/test_golden_curve.py to keep the recipe verified).
 set -euo pipefail
 cd "$(dirname "$0")"
 
 QM9_NPZ="${1:-}"
 WORKDIR="${2:-/tmp/e3_qm9_energy}"
 DATA="$WORKDIR/qm9.hdf5"
+DRY_RUN="${DRY_RUN:-}"
+
+if [[ -n "$QM9_NPZ" && ! -f "$QM9_NPZ" ]]; then
+    echo "ERROR: QM9 dataset not found: '$QM9_NPZ'" >&2
+    echo "  Expected the QM9 npz archive (padded R/Z/U0 arrays, 133885" >&2
+    echo "  molecules; the file data.ipynb cells 9-14 of the reference" >&2
+    echo "  convert).  Mount or download it, then re-run:" >&2
+    echo "    ./reproduce_energy.sh /path/to/qm9.npz [workdir]" >&2
+    exit 2
+fi
+
 mkdir -p "$WORKDIR"
 
 if [[ -z "$QM9_NPZ" ]]; then
     echo "== no QM9 npz given: smoke mode on synthetic data =="
+    if [[ -n "$DRY_RUN" ]]; then
+        echo "DRY_RUN: would write synthetic QM9-format dataset to $DATA"
+    else
     python - "$DATA" <<'EOF'
 import sys
 import numpy as np
@@ -55,21 +72,32 @@ attrs = {"R": ("node", "1x1o"), "Z": ("node", "1x0e"),
 Batch.from_data_list(items, attrs).dumpHDF5(sys.argv[1])
 print(f"wrote synthetic QM9-format dataset: {sys.argv[1]}")
 EOF
+    fi
     SPEC="{'data_config.path': '$DATA', 'data_config.n_train': 384, \
 'data_config.n_val': 128, 'max_epochs': 3}"
 else
     echo "== converting $QM9_NPZ -> $DATA =="
-    python examples/convert_datasets.py qm9 "$QM9_NPZ" "$DATA"
+    if [[ -n "$DRY_RUN" ]]; then
+        echo "DRY_RUN: would run: python examples/convert_datasets.py qm9 $QM9_NPZ $DATA"
+    else
+        python examples/convert_datasets.py qm9 "$QM9_NPZ" "$DATA"
+    fi
     SPEC="{'data_config.path': '$DATA'}"
 fi
 
 echo "== training config_energy (reference hyperparameters) =="
-python train.py \
-    --config config_energy \
-    --config_spec "$SPEC" \
-    --workdir "$WORKDIR" \
-    --name qm9_energy \
-    --seed 0
+TRAIN_CMD=(python train.py
+    --config config_energy
+    --config_spec "$SPEC"
+    --workdir "$WORKDIR"
+    --name qm9_energy
+    --seed 0)
+if [[ -n "$DRY_RUN" ]]; then
+    echo "DRY_RUN: would run: ${TRAIN_CMD[*]}"
+    echo "DRY_RUN: parity bar: validation total_energy MAE <= 0.005 eV"
+    exit 0
+fi
+"${TRAIN_CMD[@]}"
 
 echo "== final validation MAE (eV; reference parity bar: 0.005) =="
 LOG=$(find "$WORKDIR" -name log.txt | head -1)
