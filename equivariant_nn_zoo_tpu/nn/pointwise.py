@@ -177,34 +177,56 @@ class TensorProductExpansion(Module):
         weight = params["tp"]["weight"]
         lp = params["linear"]
         slices1, slices2 = tp.irreps_in1.slices(), tp.irreps_in2.slices()
-        out_chunks: Dict[int, jnp.ndarray] = {}
+        # Batched lowering (traced-size taming): the l_max=4 hamiltonian
+        # head has 100 (i1,i2) groups x 260 paths; per-path einsums made the
+        # XLA-ablation step's HLO so large it could not compile in 25 min on
+        # the tunnel.  Per group, ONE K-padded stacked-CG einsum covers all
+        # its paths; the mix then runs as ONE einsum per output irrep over
+        # the stacked per-path chunks.  ~620 -> ~210 einsums per expansion.
+        mix_bins: Dict[int, list] = {}  # io -> [(chunk, wrow, mul1)]
         for (i1, i2), items in self._fuse_plan.items():
             mi1, mi2 = tp.irreps_in1[i1], tp.irreps_in2[i2]
             mul1, d1 = mi1.mul, mi1.ir.dim
             mul2, d2 = mi2.mul, mi2.ir.dim
+            live = [it for it in items if it[4] is not None]
+            if not live:
+                continue  # no mid irrep of this group is used by the mix
             a = left[..., slices1[i1]].reshape(left.shape[:-1] + (mul1, d1))
             b = right[..., slices2[i2]].reshape(right.shape[:-1] + (mul2, d2))
             W = jnp.stack([
                 weight[o: o + mul1 * mul2].reshape(mul1, mul2)
-                for _, o, _, _, _ in items
+                for _, o, _, _, _ in live
             ])                                              # [L, u, v]
             bw = jnp.einsum("...vj,Luv->...Luj", b, W)
-            for idx, (ins, _, rk, ii, io) in enumerate(items):
-                if io is None:
-                    continue  # mid irrep unused by the mix
+            dims3 = [tp.irreps_out[ins.i_out].ir.dim for ins, *_ in live]
+            kmax = max(dims3)
+            C = np.zeros((len(live), d1, d2, kmax))
+            for p, (ins, _, _, _, _) in enumerate(live):
                 mi3 = tp.irreps_out[ins.i_out]
-                c = jnp.asarray(
-                    wigner_3j(mi1.ir.l, mi2.ir.l, mi3.ir.l), dtype=left.dtype
-                ) * ins.path_weight
-                chunk = jnp.einsum(
-                    "...ui,...uj,ijk->...uk", a, bw[..., idx, :, :], c
+                C[p, :, :, : mi3.ir.dim] = (
+                    wigner_3j(mi1.ir.l, mi2.ir.l, mi3.ir.l) * ins.path_weight
                 )
+            chunk = jnp.einsum(
+                "...ui,...Luj,LijK->...LuK", a, bw,
+                jnp.asarray(C, dtype=left.dtype),
+            )
+            for p, (ins, _, rk, ii, io) in enumerate(live):
                 wrow = lp[f"w{ii}_{io}"][rk: rk + mul1] * lin.alphas[io]
-                o_ = jnp.einsum("...uk,uw->...wk", chunk, wrow)
-                if io in out_chunks:
-                    out_chunks[io] = out_chunks[io] + o_
-                else:
-                    out_chunks[io] = o_
+                mix_bins.setdefault(io, []).append(
+                    (chunk[..., p, :, : dims3[p]], wrow, mul1)
+                )
+        out_chunks: Dict[int, jnp.ndarray] = {}
+        for io, entries in mix_bins.items():
+            if len(entries) > 1 and len({u for *_, u in entries}) == 1:
+                ch = jnp.stack([c for c, _, _ in entries], axis=-3)
+                ws = jnp.stack([w for _, w, _ in entries])  # [P, u, w]
+                out_chunks[io] = jnp.einsum("...Puk,Puw->...wk", ch, ws)
+            else:  # mixed path muls: accumulate per path
+                acc = None
+                for c, w, _ in entries:
+                    o_ = jnp.einsum("...uk,uw->...wk", c, w)
+                    acc = o_ if acc is None else acc + o_
+                out_chunks[io] = acc
         batch_shape = jnp.broadcast_shapes(left.shape[:-1], right.shape[:-1])
         outs = []
         for io, mo in enumerate(lin.irreps_out):
