@@ -12,12 +12,21 @@ ops/fused_tp.py:265), compute the tiny per-type tables in XLA and run
 
     out_l[n] = sum_t [species_n == t] * (x_l[n] @ A_l[t])
 
+Slots are PAIRED by equal irrep dim (the e/o partner of each degree in the
+standard feature layout) into one block-diagonal dot per pair:
+``[x_a | x_b] @ [[A_a, 0], [0, A_b]]`` — the single-slot dot is
+[rows, 64] x [64, 64] (quarter MXU occupancy: half-width contraction AND
+half-width lanes); the paired dot is [rows, 128] x [128, 128] (full
+occupancy), so the paired kernel retires the same work in half the passes.
+The zero blocks double nominal MACs but ride for free in the same systolic
+passes.
+
 Gradients: the per-type representative attrs row receives the summed
 cotangent of every node of that type, which is exactly the embedding-row
 gradient (all nodes of a type share the same embedding row), so end-to-end
 parameter gradients are identical to the per-node formulation.
 
-Each irrep slot is fed as a row-expanded [(N*d_l), mul] array prepared in
+Each pair is fed as a row-expanded [(N*d_l), M1] array prepared in
 XLA (node-sized relayouts; Mosaic's shape-cast support doesn't cover the
 odd-d minor splits in-kernel), so the kernel body is pure matmul+mask.
 
@@ -64,15 +73,39 @@ class SpeciesScalarFCTP:
             ))
             w_ofs += n
 
+        # pair plan: greedily fuse two equal-d slots (the e/o partners in
+        # the standard layout) while the stacked contraction fits one MXU
+        # tile; leftovers run solo.  ``idxs`` preserves item order so the
+        # column split in apply_raw is a static slice.
+        by_d: dict = {}
+        for idx, it in enumerate(self.items):
+            by_d.setdefault(it["d"], []).append(idx)
+        self._groups = []
+        for d in sorted(by_d):
+            idxs = by_d[d]
+            i = 0
+            while i < len(idxs):
+                pick = [idxs[i]]
+                if (i + 1 < len(idxs)
+                        and self.items[idxs[i]]["shape"][0]
+                        + self.items[idxs[i + 1]]["shape"][0] <= 128):
+                    pick.append(idxs[i + 1])
+                i += len(pick)
+                self._groups.append(dict(
+                    idxs=pick, d=d,
+                    M1=sum(self.items[j]["shape"][0] for j in pick),
+                    O=sum(self.items[j]["shape"][2] for j in pick),
+                ))
+
     # ------------------------------------------------------------------ XLA
     def _tables(self, params, attrs, species):
-        """Per-slot per-type conditioning tables A_l [types*mul1, mul_out]."""
+        """Per-group per-type block-diagonal tables [types*M1, O]."""
         cd = self.compute_dtype
         weight = params["weight"]
         spec = species.reshape(-1).astype(jnp.int32)
         rep = jnp.zeros((self.num_types, self.mul2), attrs.dtype)
         rep = rep.at[spec].set(attrs)
-        tables = []
+        per_item = []
         for it in self.items:
             mul1, mul2, mul_out = it["shape"]
             w = (weight[it["w_ofs"]: it["w_ofs"] + mul1 * mul2 * mul_out]
@@ -83,44 +116,68 @@ class SpeciesScalarFCTP:
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(cd)  # [types, mul1, mul_out]
-            tables.append(A.reshape(self.num_types * mul1, mul_out))
+            per_item.append(A)
+        tables = []
+        for grp in self._groups:
+            if len(grp["idxs"]) == 1:
+                A = per_item[grp["idxs"][0]]
+                tables.append(A.reshape(self.num_types * grp["M1"], grp["O"]))
+                continue
+            ia, ib = grp["idxs"]
+            Aa, Ab = per_item[ia], per_item[ib]
+            m1a, _, oa = self.items[ia]["shape"]
+            m1b, _, ob = self.items[ib]["shape"]
+            top = jnp.concatenate(
+                [Aa, jnp.zeros((self.num_types, m1a, ob), Aa.dtype)], axis=2
+            )
+            bot = jnp.concatenate(
+                [jnp.zeros((self.num_types, m1b, oa), Ab.dtype), Ab], axis=2
+            )
+            A = jnp.concatenate([top, bot], axis=1)  # [types, M1, O]
+            tables.append(A.reshape(self.num_types * grp["M1"], grp["O"]))
         return tables
 
     def _prep_x(self, x):
-        """x [N, in_dim] -> per-slot row-expanded blocks [(N*d_l), mul1]."""
+        """x [N, in_dim] -> per-group row-expanded blocks [(N*d), M1]."""
         N = x.shape[0]
         blocks = []
-        for it in self.items:
-            mul1, _, _ = it["shape"]
-            d = it["d"]
-            b = x[:, it["x_ofs"]: it["x_ofs"] + mul1 * d]
+        for grp in self._groups:
+            cols = []
+            for j in grp["idxs"]:
+                it = self.items[j]
+                mul1, _, _ = it["shape"]
+                d = it["d"]
+                b = x[:, it["x_ofs"]: it["x_ofs"] + mul1 * d]
+                cols.append(
+                    jnp.transpose(b.reshape(N, mul1, d), (0, 2, 1)).reshape(
+                        N * d, mul1
+                    ).astype(self.compute_dtype)
+                )
             blocks.append(
-                jnp.transpose(b.reshape(N, mul1, d), (0, 2, 1)).reshape(
-                    N * d, mul1
-                ).astype(self.compute_dtype)
+                cols[0] if len(cols) == 1
+                else jnp.concatenate(cols, axis=1)
             )
         return blocks
 
     # -------------------------------------------------------------- kernels
     def _fwd_kernel(self):
-        items, types = self.items, self.num_types
-        cd = self.compute_dtype
-        L = len(items)
+        groups, types = self._groups, self.num_types
+        L = len(groups)
 
         def kernel(*args):
             x_refs = args[:L]
             spec_refs = args[L: 2 * L]
             A_refs = args[2 * L: 3 * L]
             out_refs = args[3 * L:]
-            for li, it in enumerate(items):
-                mul1, _, mul_out = it["shape"]
-                xb = x_refs[li][...]          # [(Tn*d), mul1]
+            for li, grp in enumerate(groups):
+                M1 = grp["M1"]
+                xb = x_refs[li][...]          # [(Tn*d), M1]
                 spec = spec_refs[li][...]     # [(Tn*d), 1]
                 A = A_refs[li][...]
                 acc = None
                 for t in range(types):
                     res = jax.lax.dot_general(
-                        xb, A[t * mul1: (t + 1) * mul1, :],
+                        xb, A[t * M1: (t + 1) * M1, :],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -133,9 +190,9 @@ class SpeciesScalarFCTP:
     def _bwd_kernel(self):
         import jax.experimental.pallas as pl
 
-        items, types = self.items, self.num_types
+        groups, types = self._groups, self.num_types
         cd = self.compute_dtype
-        L = len(items)
+        L = len(groups)
 
         def kernel(*args):
             x_refs = args[:L]
@@ -145,8 +202,8 @@ class SpeciesScalarFCTP:
             dx_refs = args[4 * L: 5 * L]
             dA_refs = args[5 * L: 6 * L]
             first = pl.program_id(0) == 0
-            for li, it in enumerate(items):
-                mul1, _, mul_out = it["shape"]
+            for li, grp in enumerate(groups):
+                M1 = grp["M1"]
                 xb = x_refs[li][...]
                 spec = spec_refs[li][...]
                 A = A_refs[li][...]
@@ -157,7 +214,7 @@ class SpeciesScalarFCTP:
                     m = (spec == t).astype(cd)
                     gm = (m * g).astype(cd)
                     dx_t = jax.lax.dot_general(
-                        gm, A[t * mul1: (t + 1) * mul1, :],
+                        gm, A[t * M1: (t + 1) * M1, :],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -186,7 +243,7 @@ class SpeciesScalarFCTP:
     def _make_fn(self, N, specs):
         import jax.experimental.pallas as pl
 
-        items, Tn = self.items, self.tile
+        groups, Tn = self._groups, self.tile
         cd = self.compute_dtype
         fwd_kernel = self._fwd_kernel()
         bwd_kernel = self._bwd_kernel()
@@ -195,31 +252,31 @@ class SpeciesScalarFCTP:
 
         def xspec():
             return [
-                pl.BlockSpec((Tn * it["d"], it["shape"][0]),
+                pl.BlockSpec((Tn * grp["d"], grp["M1"]),
                              lambda t: (t, 0))
-                for it in items
+                for grp in groups
             ]
 
         def sspec():
             return [
-                pl.BlockSpec((Tn * it["d"], 1), lambda t: (t, 0))
-                for it in items
+                pl.BlockSpec((Tn * grp["d"], 1), lambda t: (t, 0))
+                for grp in groups
             ]
 
         def ospec():
             return [
-                pl.BlockSpec((Tn * it["d"], it["shape"][2]),
+                pl.BlockSpec((Tn * grp["d"], grp["O"]),
                              lambda t: (t, 0))
-                for it in items
+                for grp in groups
             ]
 
         def aspec():
             return [
                 pl.BlockSpec(
-                    (self.num_types * it["shape"][0], it["shape"][2]),
+                    (self.num_types * grp["M1"], grp["O"]),
                     lambda t: (0, 0),
                 )
-                for it in items
+                for grp in groups
             ]
 
         def run_fwd(xs, tables):
@@ -229,8 +286,8 @@ class SpeciesScalarFCTP:
                 in_specs=xspec() + sspec() + aspec(),
                 out_specs=ospec(),
                 out_shape=[
-                    jax.ShapeDtypeStruct((N * it["d"], it["shape"][2]), cd)
-                    for it in items
+                    jax.ShapeDtypeStruct((N * grp["d"], grp["O"]), cd)
+                    for grp in groups
                 ],
                 interpret=interpret,
                 **_compiler_params(interpret),
@@ -243,14 +300,14 @@ class SpeciesScalarFCTP:
                 in_specs=xspec() + sspec() + aspec() + ospec(),
                 out_specs=xspec() + aspec(),
                 out_shape=[
-                    jax.ShapeDtypeStruct((N * it["d"], it["shape"][0]), cd)
-                    for it in items
+                    jax.ShapeDtypeStruct((N * grp["d"], grp["M1"]), cd)
+                    for grp in groups
                 ] + [
                     jax.ShapeDtypeStruct(
-                        (self.num_types * it["shape"][0], it["shape"][2]),
+                        (self.num_types * grp["M1"], grp["O"]),
                         jnp.float32,
                     )
-                    for it in items
+                    for grp in groups
                 ],
                 interpret=interpret,
                 **_compiler_params(interpret),
@@ -289,18 +346,22 @@ class SpeciesScalarFCTP:
         tables = self._tables(params, attrs, species)
         spec = species.reshape(N, 1).astype(jnp.int32)
         specs = [
-            jnp.broadcast_to(spec[:, None, :], (N, it["d"], 1)).reshape(
-                N * it["d"], 1
+            jnp.broadcast_to(spec[:, None, :], (N, grp["d"], 1)).reshape(
+                N * grp["d"], 1
             )
-            for it in self.items
+            for grp in self._groups
         ]
-        outs = self._make_fn(N, specs)(xs, tables)  # per slot [(N*d), w]
+        outs = self._make_fn(N, specs)(xs, tables)  # per group [(N*d), O]
         raw = {}
-        for it, o in zip(self.items, outs):
-            _, _, mul_out = it["shape"]
-            io = it["ins"].i_out
-            blk = o.reshape(N, it["d"], mul_out)
-            raw[io] = raw.get(io, 0) + blk
+        for grp, o in zip(self._groups, outs):
+            c = 0
+            for j in grp["idxs"]:
+                it = self.items[j]
+                _, _, mul_out = it["shape"]
+                io = it["ins"].i_out
+                blk = o[:, c: c + mul_out].reshape(N, it["d"], mul_out)
+                raw[io] = raw.get(io, 0) + blk
+                c += mul_out
         return raw
 
     def apply(self, params, x, attrs, species):

@@ -202,9 +202,15 @@ def test_full_conv_grads_match():
         assert float(jnp.abs(a - b).max()) / denom < 2e-4
 
 
-def test_species_sc_matches_fused():
+@pytest.mark.parametrize("feats_str", [
+    "8x0e+8x1o+8x2e",        # all distinct d: every slot runs solo
+    "8x0e+8x0o+8x1e+8x1o",   # standard e/o layout: every slot paired
+    "8x0e+8x0o+8x1e",        # 0e/0o pair + 1e solo (odd leftover)
+])
+def test_species_sc_matches_fused(feats_str):
     """SpeciesScalarFCTP == FusedScalarFCTP when attrs are species-pure,
-    including gradients at the embedding-table level."""
+    including gradients at the embedding-table level — across the slot
+    pairing plans (solo, block-diagonal paired, and mixed)."""
     from equivariant_nn_zoo_tpu.ops.fused_tp import FusedScalarFCTP
     from equivariant_nn_zoo_tpu.ops.pallas.sc import SpeciesScalarFCTP
     from equivariant_nn_zoo_tpu.ops.irreps import Irreps
@@ -212,7 +218,7 @@ def test_species_sc_matches_fused():
 
     rng = np.random.default_rng(0)
     N, types, m2 = 64, 5, 16
-    feats = Irreps("8x0e+8x1o+8x2e")
+    feats = Irreps(feats_str)
     sc = fully_connected_tp(feats, Irreps(f"{m2}x0e"), feats)
     n_w = sum(int(np.prod(sc._weight_shape(i))) for i in sc.instructions)
     params = {"weight": jnp.asarray(rng.normal(size=(n_w,)), jnp.float32)}
