@@ -46,6 +46,7 @@ the single reshape.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List
 
 import numpy as np
@@ -656,7 +657,7 @@ class PallasFullConv(PallasUVUConv):
             k2 += K8
         self.K2 = k2
 
-        self._C2s, self._C2Ts = [], []
+        Cs_np = []
         for sm in self._secs:
             s = sm["sh"]
             C = np.zeros((sm["K8"], sm["jdim"] * I), np.float32)
@@ -676,6 +677,56 @@ class PallasFullConv(PallasUVUConv):
                         for m2 in range(2 * l2 + 1):
                             for m1 in range(2 * l1 + 1):
                                 C[row, m2 * I + i0 + m1] += cg[m1, m2, dd]
+            Cs_np.append(C)
+
+        # Pack consecutive sections into block-diagonal "super-section"
+        # dots.  A single section's mid matmul [K8_s, jdim_s*I] @ outer is
+        # padded to 128 on BOTH dims by the MXU (the l2=0 section is
+        # 32x32 at I=32 — 6% occupancy); two (or three) consecutive
+        # sections whose row and contraction sums still fit one 128 block
+        # cost the SAME single MXU pass as either alone (e.g. the NequIP
+        # l_max=2 convs: l2=0 [32,32] + l2=1 [80,96] pack to [112,128] —
+        # an exact full-width contraction).  The adjoint packs the same
+        # way with M/K swapped.  Sections must be jm-contiguous so the
+        # packed outer slice / douter block stay single row ranges; the
+        # K2 row layout is untouched (packs cover consecutive sections),
+        # so the wt2 / dwin / dwsel / mix bookkeeping is unaffected.
+        #
+        # MEASURED AND REJECTED as the default (E3_PALLAS_SECPACK=1 to
+        # enable): on real TPU the packed headline step is 1.4% SLOWER
+        # (4449.0 +/- 0.2 vs 4510.5 +/- 1.8 g/s, 2x2 interleaved A/B,
+        # /tmp/ab_secpack.log 2026-08-19) despite strictly fewer MXU
+        # passes — same Mosaic-scheduling behavior class as the twice-
+        # rejected fwd-saved-residual (see CLAUDE.md).  Kept functional
+        # and parity-tested: the occupancy argument should win on configs
+        # with many narrow sections (l_max>=3 heads).
+        pack_on = os.environ.get("E3_PALLAS_SECPACK", "0") != "0"
+        self._packs = []
+        for si, sm in enumerate(self._secs):
+            kdim = sm["jdim"] * I
+            pk = self._packs[-1] if self._packs else None
+            if (pack_on and pk is not None
+                    and pk["K8"] + sm["K8"] <= 128
+                    and pk["kdim"] + kdim <= 128
+                    and pk["jm0"] + pk["jdim"] == sm["jm0"]):
+                pk["sis"].append(si)
+                pk["K8"] += sm["K8"]
+                pk["kdim"] += kdim
+                pk["jdim"] += sm["jdim"]
+            else:
+                self._packs.append(dict(
+                    sis=[si], k0=sm["k0"], K8=sm["K8"], kdim=kdim,
+                    jm0=sm["jm0"], jdim=sm["jdim"],
+                ))
+        self._C2s, self._C2Ts = [], []
+        for pk in self._packs:
+            C = np.zeros((pk["K8"], pk["kdim"]), np.float32)
+            r0 = c0 = 0
+            for si in pk["sis"]:
+                Cs = Cs_np[si]
+                C[r0: r0 + Cs.shape[0], c0: c0 + Cs.shape[1]] = Cs
+                r0 += Cs.shape[0]
+                c0 += Cs.shape[1]
             self._C2s.append(jnp.asarray(C))
             self._C2Ts.append(jnp.asarray(np.ascontiguousarray(C.T)))
 
@@ -796,7 +847,11 @@ class PallasFullConv(PallasUVUConv):
         return mid2, wt2, mid2 * wt2
 
     def _mid2_of(self, xb, sh, C2vs, sh0c):
-        """The (x, sh)-dependent TP intermediate: [K2*mul, T] section rows."""
+        """The (x, sh)-dependent TP intermediate: [K2*mul, T] section rows.
+
+        One block-diagonal dot per section PACK (see _build_l2_split); the
+        packed [K8, mul*T] -> [K8*mul, T] reshape equals the per-section
+        reshapes concatenated because packs cover consecutive K2 rows."""
         J, I, mul, T = self.J_dim, self.I_dim, self.mul, self.tile
         cd = self.compute_dtype
         rows = []
@@ -807,19 +862,46 @@ class PallasFullConv(PallasUVUConv):
             srep = jnp.concatenate([sh[j: j + 1, :]] * mul, axis=1)
             rows.append(srep * xb)
         mids = []
-        for si, sm in enumerate(self._secs):
-            outer_s = (
-                rows[sm["jm0"]] if sm["jdim"] == 1 else jnp.concatenate(
-                    rows[sm["jm0"]: sm["jm0"] + sm["jdim"]], axis=0
+        for pi, pk in enumerate(self._packs):
+            outer_p = (
+                rows[pk["jm0"]] if pk["jdim"] == 1 else jnp.concatenate(
+                    rows[pk["jm0"]: pk["jm0"] + pk["jdim"]], axis=0
                 )
             )                                              # [jdim*I, mul*T]
-            mid_s = jax.lax.dot_general(
-                C2vs[si].astype(cd), outer_s,
+            mid_p = jax.lax.dot_general(
+                C2vs[pi].astype(cd), outer_p,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(cd)                                   # [K8, mul*T]
-            mids.append(mid_s.reshape(sm["K8"] * mul, T))
+            mids.append(mid_p.reshape(pk["K8"] * mul, T))
         return jnp.concatenate(mids, axis=0)
+
+    def _douter_of(self, dmid2, C2Tvals):
+        """CG adjoint of _mid2_of: [K2*mul, T] -> [J*I, mul*T] wide rows.
+
+        One packed C^T dot per section pack; sh rows with no paths get
+        zero blocks so the caller can slice per-j unconditionally."""
+        J, I, mul, T = self.J_dim, self.I_dim, self.mul, self.tile
+        cd = self.compute_dtype
+        dblocks = []
+        jm_done = 0
+        for pi, pk in enumerate(self._packs):
+            if pk["jm0"] > jm_done:
+                dblocks.append(jnp.zeros(
+                    ((pk["jm0"] - jm_done) * I, mul * T), cd
+                ))
+            dmid_p = dmid2[
+                pk["k0"] * mul: (pk["k0"] + pk["K8"]) * mul, :
+            ].reshape(pk["K8"], mul * T)
+            dblocks.append(jax.lax.dot_general(
+                C2Tvals[pi].astype(cd), dmid_p,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd))                                  # [jdim*I, mul*T]
+            jm_done = pk["jm0"] + pk["jdim"]
+        if jm_done < J:
+            dblocks.append(jnp.zeros(((J - jm_done) * I, mul * T), cd))
+        return jnp.concatenate(dblocks, axis=0)
 
     def _wt2_of(self, wT2):
         """Radial-weight rows matching the (section, g, dd, m, u) order."""
@@ -858,15 +940,15 @@ class PallasFullConv(PallasUVUConv):
         cd = self.compute_dtype
         mix2 = self._mix2
 
-        nSec = len(self._secs)
+        nC2 = len(self._C2s)
 
         def kernel(win0_ref, first_ref, last_ref, *args):
             (srcl_ref, dstl_ref, x_ref, shT_ref, er_ref) = args[:5]
             W_refs = args[5: 5 + nW]
-            C2_refs = args[5 + nW: 5 + nW + nSec]
-            wsel_refs = args[5 + nW + nSec: 5 + nW + nSec + S]
-            acc_ref = args[5 + nW + nSec + S]
-            accw_ref = args[6 + nW + nSec + S]            # scratch [K2*mul, W]
+            C2_refs = args[5 + nW: 5 + nW + nC2]
+            wsel_refs = args[5 + nW + nC2: 5 + nW + nC2 + S]
+            acc_ref = args[5 + nW + nC2 + S]
+            accw_ref = args[6 + nW + nC2 + S]             # scratch [K2*mul, W]
 
             t = pl.program_id(0)
 
@@ -968,16 +1050,17 @@ class PallasFullConv(PallasUVUConv):
         cd = self.compute_dtype
         mix2 = self._mix2
         nSec = len(self._secs)
+        nC2 = len(self._C2s)
         secs_meta = self._secs
 
         def kernel(win0_ref, first_ref, last_ref, *args):
             (srcl_ref, dstl_ref, x_ref, shT_ref, er_ref) = args[:5]
             W_refs = args[5: 5 + nW]
-            C2_refs = args[5 + nW: 5 + nW + nSec]
-            C2T_refs = args[5 + nW + nSec: 5 + nW + 2 * nSec]
-            wsel_refs = args[5 + nW + 2 * nSec: 5 + nW + 2 * nSec + S]
-            gout_ref = args[5 + nW + 2 * nSec + S]
-            n_in = 6 + nW + 2 * nSec + S
+            C2_refs = args[5 + nW: 5 + nW + nC2]
+            C2T_refs = args[5 + nW + nC2: 5 + nW + 2 * nC2]
+            wsel_refs = args[5 + nW + 2 * nC2: 5 + nW + 2 * nC2 + S]
+            gout_ref = args[5 + nW + 2 * nC2 + S]
+            n_in = 6 + nW + 2 * nC2 + S
             dx_ref, dsh_ref, der_ref = args[n_in: n_in + 3]
             dW_refs = args[n_in + 3: n_in + 3 + nW]
             dwsel_refs = args[n_in + 3 + nW: n_in + 3 + nW + S]
@@ -1131,7 +1214,7 @@ class PallasFullConv(PallasUVUConv):
                             )
 
                 # TP-intermediate cotangent back to the wide layout for
-                # C2^T
+                # the packed C2^T dots
                 dmid2 = dw2d * wt2
                 dwT2 = jnp.concatenate(dwt_blocks, axis=0)  # [P*mul, T]
 
@@ -1160,30 +1243,12 @@ class PallasFullConv(PallasUVUConv):
                         )[0].astype(cd)
                 der_parts.append(dh)
 
-                # adjoint per section: contraction dim shrinks to each
-                # section's K8 (the big MXU win of the per-l2 split);
-                # inactive sh rows (irreps with no paths) get zero blocks
-                dblocks = []
-                jm_done = 0
-                for si, sm in enumerate(secs_meta):
-                    if sm["jm0"] > jm_done:
-                        dblocks.append(jnp.zeros(
-                            ((sm["jm0"] - jm_done) * I, mul * T), cd
-                        ))
-                    dmid_s = dmid2[
-                        sm["k0"] * mul: (sm["k0"] + sm["K8"]) * mul, :
-                    ].reshape(sm["K8"], mul * T)
-                    dblocks.append(jax.lax.dot_general(
-                        C2T_refs[si][...].astype(cd), dmid_s,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ).astype(cd))                          # [jdim*I, mul*T]
-                    jm_done = sm["jm0"] + sm["jdim"]
-                if jm_done < J:
-                    dblocks.append(
-                        jnp.zeros(((J - jm_done) * I, mul * T), cd)
-                    )
-                douter = jnp.concatenate(dblocks, axis=0)
+                # adjoint per section pack: contraction dim shrinks to the
+                # pack's K8 (the big MXU win of the per-l2 split, block-
+                # diagonal packed — see _build_l2_split)
+                douter = self._douter_of(
+                    dmid2, [c[...] for c in C2T_refs]
+                )
 
                 dxb = None
                 dsh_rows = []
@@ -1245,14 +1310,14 @@ class PallasFullConv(PallasUVUConv):
         S = self.n_secs
         cd = self.compute_dtype
         mix2 = self._mix2
-        nSec = len(self._secs)
+        nC2 = len(self._C2s)
 
         def kernel(win0_ref, first_ref, last_ref, *args):
             (srcl_ref, dstl_ref, x_ref, shT_ref, wT2_ref) = args[:5]
-            C2_refs = args[5: 5 + nSec]
-            wsel_refs = args[5 + nSec: 5 + nSec + S]
-            acc_ref = args[5 + nSec + S]
-            accw_ref = args[6 + nSec + S]
+            C2_refs = args[5: 5 + nC2]
+            wsel_refs = args[5 + nC2: 5 + nC2 + S]
+            acc_ref = args[5 + nC2 + S]
+            accw_ref = args[6 + nC2 + S]
 
             t = pl.program_id(0)
             w0 = pl.multiple_of(win0_ref[t], 8)
@@ -1331,15 +1396,16 @@ class PallasFullConv(PallasUVUConv):
         cd = self.compute_dtype
         mix2 = self._mix2
         nSec = len(self._secs)
+        nC2 = len(self._C2s)
         secs_meta = self._secs
 
         def kernel(win0_ref, first_ref, last_ref, *args):
             (srcl_ref, dstl_ref, x_ref, shT_ref, wT2_ref) = args[:5]
-            C2_refs = args[5: 5 + nSec]
-            C2T_refs = args[5 + nSec: 5 + 2 * nSec]
-            wsel_refs = args[5 + 2 * nSec: 5 + 2 * nSec + S]
-            gout_ref = args[5 + 2 * nSec + S]
-            n_in = 6 + 2 * nSec + S
+            C2_refs = args[5: 5 + nC2]
+            C2T_refs = args[5 + nC2: 5 + 2 * nC2]
+            wsel_refs = args[5 + 2 * nC2: 5 + 2 * nC2 + S]
+            gout_ref = args[5 + 2 * nC2 + S]
+            n_in = 6 + 2 * nC2 + S
             dx_ref, dsh_ref, dwT2_ref = args[n_in: n_in + 3]
             dwsel_refs = args[n_in + 3: n_in + 3 + S]
             dwin_ref, accw_ref = args[n_in + 3 + S:]       # scratch
@@ -1465,25 +1531,7 @@ class PallasFullConv(PallasUVUConv):
                         )
 
             dmid2 = dw2d * wt2
-            dblocks = []
-            jm_done = 0
-            for si, sm in enumerate(secs_meta):
-                if sm["jm0"] > jm_done:
-                    dblocks.append(jnp.zeros(
-                        ((sm["jm0"] - jm_done) * I, mul * T), cd
-                    ))
-                dmid_s = dmid2[
-                    sm["k0"] * mul: (sm["k0"] + sm["K8"]) * mul, :
-                ].reshape(sm["K8"], mul * T)
-                dblocks.append(jax.lax.dot_general(
-                    C2T_refs[si][...].astype(cd), dmid_s,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(cd))                              # [jdim*I, mul*T]
-                jm_done = sm["jm0"] + sm["jdim"]
-            if jm_done < J:
-                dblocks.append(jnp.zeros(((J - jm_done) * I, mul * T), cd))
-            douter = jnp.concatenate(dblocks, axis=0)
+            douter = self._douter_of(dmid2, [c[...] for c in C2T_refs])
 
             dxb = None
             dsh_rows = []
@@ -1539,16 +1587,17 @@ class PallasFullConv(PallasUVUConv):
         cd = self.compute_dtype
         mix2 = self._mix2
         nSec = len(self._secs)
+        nC2 = len(self._C2s)
         secs_meta = self._secs
 
         def kernel(win0_ref, first_ref, last_ref, *args):
             (srcl_ref, dstl_ref, x_ref, cx_ref, shT_ref, cshT_ref,
              wT2_ref, cwT_ref) = args[:8]
-            C2_refs = args[8: 8 + nSec]
-            C2T_refs = args[8 + nSec: 8 + 2 * nSec]
-            wsel_refs = args[8 + 2 * nSec: 8 + 2 * nSec + S]
-            gout_ref = args[8 + 2 * nSec + S]
-            n_in = 9 + 2 * nSec + S
+            C2_refs = args[8: 8 + nC2]
+            C2T_refs = args[8 + nC2: 8 + 2 * nC2]
+            wsel_refs = args[8 + 2 * nC2: 8 + 2 * nC2 + S]
+            gout_ref = args[8 + 2 * nC2 + S]
+            n_in = 9 + 2 * nC2 + S
             dx_ref, dsh_ref, dwT2_ref = args[n_in: n_in + 3]
             dwsel_refs = args[n_in + 3: n_in + 3 + S]
             accg_ref = args[n_in + 3 + S]
@@ -1701,33 +1750,11 @@ class PallasFullConv(PallasUVUConv):
                 cur = accg_ref[pl.ds(w0, W), :]
                 accg_ref[pl.ds(w0, W), :] = cur + full.astype(accg_ref.dtype)
 
-            # douter CG adjoints: ONE chain for the shared-w calls (b1/b2),
-            # one for the cw substitution (b3)
-            def douter_of(wt):
-                dmid = dw2d * wt
-                dblocks = []
-                jm_done = 0
-                for si, sm in enumerate(secs_meta):
-                    if sm["jm0"] > jm_done:
-                        dblocks.append(jnp.zeros(
-                            ((sm["jm0"] - jm_done) * I, mul * T), cd
-                        ))
-                    dmid_s = dmid[
-                        sm["k0"] * mul: (sm["k0"] + sm["K8"]) * mul, :
-                    ].reshape(sm["K8"], mul * T)
-                    dblocks.append(jax.lax.dot_general(
-                        C2T_refs[si][...].astype(cd), dmid_s,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ).astype(cd))                          # [jdim*I, mul*T]
-                    jm_done = sm["jm0"] + sm["jdim"]
-                if jm_done < J:
-                    dblocks.append(jnp.zeros(((J - jm_done) * I, mul * T),
-                                             cd))
-                return jnp.concatenate(dblocks, axis=0)
-
-            douter_w = douter_of(wt_w)
-            douter_c = douter_of(wt_c)
+            # douter CG adjoints (packed C^T dots): ONE chain for the
+            # shared-w calls (b1/b2), one for the cw substitution (b3)
+            C2Tvals = [c[...] for c in C2T_refs]
+            douter_w = self._douter_of(dw2d * wt_w, C2Tvals)
+            douter_c = self._douter_of(dw2d * wt_c, C2Tvals)
 
             dxb = None
             dsh_rows = []
@@ -2071,10 +2098,18 @@ class PallasFullConv(PallasUVUConv):
         # instances at every differentiation level) used to cost ~10 ms of
         # the force step
         erT = jnp.transpose(edge_radial, (1, 0))         # [nb, E] (tiny)
-        wT_full = self.fc.apply_T(
-            fc_params, erT, compute_dtype=str(np.dtype(cd)),
-        )                                        # [P_tpe*mul, E]
-        wT2 = wT_full[self._wcol_perm2, :].astype(cd)    # _p2 row order
+        # _p2 row order via a column permutation of the LAST MLP weight
+        # ([nh, P_tpe*mul], tiny) rather than a row gather of the [P*mul, E]
+        # activation: the activation gather (and its scatter adjoint) was
+        # re-materialized at every differentiation level of the force step
+        # — ~11.7 ms of a 50 ms step (trace 2026-08-19).  Permuting weight
+        # columns commutes with apply_T's per-layer 1/sqrt(fan_in) scaling.
+        n_last = len(self.fc_dims) - 2
+        fc_p2 = dict(fc_params)
+        fc_p2[f"w{n_last}"] = fc_params[f"w{n_last}"][:, self._wcol_perm2]
+        wT2 = self.fc.apply_T(
+            fc_p2, erT, compute_dtype=str(np.dtype(cd)),
+        ).astype(cd)                             # [P*mul, E], _p2 rows
         wsel = tuple(self._prep_wsel2(linear_params))
         if pre_scale is not None:
             wsel = tuple(w * pre_scale for w in wsel)

@@ -319,6 +319,8 @@ class Trainer:
             return metric_stats(out, batch.data) if metric_stats else {}
 
         def train_step(params, opt_state, ema, batch):
+            batch = batch.from_wire()
+
             def loss_fn(p):
                 loss, contrib, out = forward(p, batch)
                 return loss, (out, contrib)
@@ -337,6 +339,7 @@ class Trainer:
                     stats_of(out, batch), aux)
 
         def eval_step(params, batch):
+            batch = batch.from_wire()
             loss, contrib, out = forward(params, batch)
             return loss, contrib, out, stats_of(out, batch)
 
@@ -347,6 +350,8 @@ class Trainer:
         # workflow for regression (README.md:154); the SDE step fn has its
         # own accumulator (sde_utils.py).
         def accum_step(params, acc, batch):
+            batch = batch.from_wire()
+
             def loss_fn(p):
                 loss, contrib, out = forward(p, batch)
                 return loss, (out, contrib)
@@ -662,17 +667,28 @@ class Trainer:
         they cost ~30% throughput (measured 4228 step-only vs 3032
         trainer-path).  A daemon thread drains the loader and issues the
         (asynchronous) device_put so both overlap the previous step's
-        device time; the bounded queue applies backpressure."""
+        device time; the bounded queue applies backpressure.
+
+        Batches additionally go over the wire in GraphBatch.to_wire()'s
+        two-blob form (one RPC per dtype instead of one per leaf); the
+        step jits unpack via from_wire().  Skipped when the equivariance
+        test is on — it reads batch fields host-side after the step."""
         import queue
         import threading
+
+        import os
 
         q: queue.Queue = queue.Queue(maxsize=lookahead)
         sentinel = object()
         failure = []
+        wire = (not self.equivariance_test
+                and os.environ.get("E3_WIRE", "1") != "0")
 
         def producer():
             try:
                 for item in it:
+                    if wire and hasattr(item, "to_wire"):
+                        item = item.to_wire()
                     q.put(jax.device_put(item))
             except BaseException as e:  # surfaced on the consumer side
                 failure.append(e)

@@ -181,3 +181,52 @@ def test_loader_drop_last_false(tmp_path):
     # last batch padded with empty graphs, masked out
     last = batches[-1]
     assert float(np.asarray(last["_graph_mask"]).sum()) == 2
+
+
+def test_graphbatch_wire_roundtrip():
+    """to_wire packs every leaf into one blob per dtype; from_wire (inside
+    jit or eager) reconstructs values, shapes, dtype kinds, and attrs."""
+    import jax
+    import jax.numpy as jnp
+
+    from equivariant_nn_zoo_tpu.data import GraphBatch
+
+    items = []
+    for _ in range(4):
+        n = int(RNG.integers(3, 7))
+        ei = np.stack([RNG.integers(0, n, 10), RNG.integers(0, n, 10)])
+        items.append({
+            "pos": RNG.normal(size=(n, 3)).astype(np.float32),
+            "species": RNG.integers(1, 5, size=(n, 1)),
+            "edge_index": ei.astype(np.int64),
+            "y": np.asarray([[1.5]], np.float32),
+            "_n_nodes": n,
+        })
+    attrs = {"pos": ("node", "1x1o"), "species": ("node", "1x0e"),
+             "y": ("graph", "1x0e"), "_n_nodes": ("graph", "1x0e")}
+    gb = GraphBatch.from_batch(
+        Batch.from_data_list(items, attrs), 64, 64, 4
+    )
+    w = gb.to_wire()
+    assert set(w.data.keys()) == {"_wire_f", "_wire_i"}
+    # identity / idempotence
+    assert gb.from_wire() is gb
+    assert w.to_wire() is w
+    r = w.from_wire()
+    assert set(r.data.keys()) == set(gb.data.keys())
+    for k in gb.data:
+        a, b = np.asarray(gb.data[k]), np.asarray(r.data[k])
+        assert a.shape == b.shape and a.dtype.kind == b.dtype.kind, k
+        np.testing.assert_array_equal(
+            a.astype(np.float64), b.astype(np.float64), err_msg=k
+        )
+    assert r.attrs == gb.attrs
+
+    # through a jit boundary (the production path: device_put the wire
+    # batch, unpack inside the step)
+    f = jax.jit(lambda b: (b.from_wire()["pos"].sum()
+                           + b.from_wire()["edge_index"].sum()))
+    g = jax.jit(lambda b: (b["pos"].sum()
+                           + b["edge_index"].astype(jnp.float32).sum()))
+    assert abs(float(f(jax.device_put(w)))
+               - float(g(jax.device_put(gb)))) < 1e-4

@@ -467,3 +467,41 @@ def test_pallas_reduce_false_matches_fused():
                       jax.tree_util.tree_leaves(gb)):
         denom = max(float(jnp.abs(b_).max()), 1e-6)
         assert float(jnp.abs(a_ - b_).max()) / denom < 1e-4
+
+
+def test_full_conv_section_pack_matches(monkeypatch):
+    """E3_PALLAS_SECPACK=1 (block-diagonal super-section dots; measured
+    slower on TPU, kept for narrow-section configs) stays parity-exact
+    with the default per-section lowering, forward and all grads."""
+    monkeypatch.setenv("E3_PALLAS_SECPACK", "1")
+    conv, params, full, fused, fc, gb, x, sh, er, N = setup_full(seed=5)
+    assert any(len(pk["sis"]) > 1 for pk in full._packs), \
+        "pack knob had no effect — test geometry never packs"
+    lp, fcp = params["tp"]["linear"], params["fc"]
+    win = jnp.asarray(gb["_edge_tile_win"])
+    tfirst = jnp.asarray(gb["_edge_tile_first"])
+    tlast = jnp.asarray(gb["_edge_tile_last"])
+    srcl = jnp.asarray(gb["_edge_src_local"])
+    dstl = jnp.asarray(gb["_edge_dst_local"])
+
+    def loss_full(fcp_, lp_, x_, sh_, er_):
+        out = full(fcp_, lp_, x_, er_, sh_, win, tfirst, tlast, srcl, dstl,
+                   N, pre_scale=0.5)
+        return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
+                                     ).reshape(out.shape))
+
+    def loss_ref(fcp_, lp_, x_, sh_, er_):
+        out = _ref_out(fused, fc, fcp_, lp_, x_, sh_, er_, gb, N)
+        return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
+                                     ).reshape(out.shape))
+
+    a = full(fcp, lp, x, er, sh, win, tfirst, tlast, srcl, dstl, N,
+             pre_scale=0.5)
+    b = _ref_out(fused, fc, fcp, lp, x, sh, er, gb, N)
+    assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 1e-5
+    ga = jax.grad(loss_full, argnums=(0, 1, 2, 3, 4))(fcp, lp, x, sh, er)
+    gref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(fcp, lp, x, sh, er)
+    for ai, bi in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gref)):
+        denom = max(float(jnp.abs(bi).max()), 1e-6)
+        assert float(jnp.abs(ai - bi).max()) / denom < 2e-4
