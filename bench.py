@@ -39,6 +39,16 @@ if os.environ.get("E3_COMPILE_CACHE", "1") == "1":
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/e3_jax_cache")
 
+# Hang diagnosis: E3_FAULT=<secs> dumps every thread's Python stack to
+# stderr that often (a bench phase that goes silent past its expected
+# runtime can then be attributed without a debugger on the box).
+if os.environ.get("E3_FAULT"):
+    import faulthandler
+
+    faulthandler.dump_traceback_later(
+        int(os.environ["E3_FAULT"]), repeat=True
+    )
+
 
 # --------------------------------------------------------------- data makers
 

@@ -923,15 +923,23 @@ class PallasFullConv(PallasUVUConv):
                 parts.append(jnp.zeros(((sm["K8"] - used) * mul, T), cd))
         return jnp.concatenate(parts, axis=0)              # [K2*mul, T]
 
-    def _full_fwd_kernel(self, B: int = 1):
+    def _full_fwd_kernel(self, B: int = 1, save_mid: bool = False):
         """``B``: edge tiles per grid step (E3_PALLAS_TILEBATCH).  The
         per-tile chain alternates VPU (outer build, weight mult) and MXU
         (TP, scatter) stages with data dependencies, so with one tile per
         grid step the units idle alternately; batching B independent tiles
         into one kernel body lets Mosaic overlap tile b's VPU stages with
         tile b+1's MXU dots.  Semantics are identical: sub-tiles run in
-        program order, so run-boundary accumulator resets stay correct."""
+        program order, so run-boundary accumulator resets stay correct.
+
+        ``save_mid``: additionally stream the per-tile TP intermediate
+        ``mid2`` [K2*mul, T] to a second output so the backward pass can
+        skip the gather + outer build + fwd CG dots (E3_PALLAS_SAVEMID;
+        B == 1 only — sub-tile stores at value-level lane offsets do not
+        legalize, see the load note below)."""
         import jax.experimental.pallas as pl
+
+        assert not (save_mid and B != 1)
 
         J, I, mul, T, W = (self.J_dim, self.I_dim, self.mul, self.tile,
                            self.window)
@@ -948,7 +956,9 @@ class PallasFullConv(PallasUVUConv):
             C2_refs = args[5 + nW: 5 + nW + nC2]
             wsel_refs = args[5 + nW + nC2: 5 + nW + nC2 + S]
             acc_ref = args[5 + nW + nC2 + S]
-            accw_ref = args[6 + nW + nC2 + S]             # scratch [K2*mul, W]
+            n_out = 6 + nW + nC2 + S
+            mid_ref = args[n_out] if save_mid else None
+            accw_ref = args[n_out + (1 if save_mid else 0)]  # [K2*mul, W]
 
             t = pl.program_id(0)
 
@@ -983,10 +993,12 @@ class PallasFullConv(PallasUVUConv):
                     er_ref[b * T: (b + 1) * T, :], Wvals
                 )
                 wT2 = jnp.transpose(w_edge)               # [P*mul, T]
-                _, _, w2d = self._tp_mid2(
+                mid2, _, w2d = self._tp_mid2(
                     xb, shT_ref[:, b * T: (b + 1) * T].astype(cd),
                     wT2, C2vals,
                 )
+                if save_mid:
+                    mid_ref[...] = mid2.astype(mid_ref.dtype)
                 # scatter the UNMIXED weighted TP into the window
                 # accumulator: one MXU-shaped matmul (M = K2*mul) instead
                 # of 32 mix-width ones — the mix runs once per window at
@@ -1036,12 +1048,22 @@ class PallasFullConv(PallasUVUConv):
 
         return kernel
 
-    def _full_bwd_kernel(self, B: int = 1):
+    def _full_bwd_kernel(self, B: int = 1, load_mid: bool = False):
         """``B``: edge tiles per grid step — see _full_fwd_kernel.  The
         radial-MLP weight gradients accumulate in registers across the B
         sub-tiles (one ref add per grid step) so the sub-tile chains stay
-        independent except for the per-run accumulator scratches."""
+        independent except for the per-run accumulator scratches.
+
+        ``load_mid`` (E3_PALLAS_SAVEMID): the forward streamed the TP
+        intermediate ``mid2`` per tile; load it instead of recomputing —
+        drops the x gather (whole-table VMEM residency included, unless
+        ``compute_dsh`` still needs xb), the J-row outer build (the
+        biggest VPU block) and the fwd-direction CG pack dots (C2s are
+        not even passed in).  wt2 still comes from the in-kernel MLP
+        recompute, whose pre-activations the MLP backward needs anyway."""
         import jax.experimental.pallas as pl
+
+        assert not (load_mid and B != 1)
 
         J, I, mul, T, W = (self.J_dim, self.I_dim, self.mul, self.tile,
                            self.window)
@@ -1053,18 +1075,28 @@ class PallasFullConv(PallasUVUConv):
         nC2 = len(self._C2s)
         secs_meta = self._secs
 
+        has_x = (not load_mid) or self.compute_dsh
+
         def kernel(win0_ref, first_ref, last_ref, *args):
-            (srcl_ref, dstl_ref, x_ref, shT_ref, er_ref) = args[:5]
-            W_refs = args[5: 5 + nW]
-            C2_refs = args[5 + nW: 5 + nW + nC2]
-            C2T_refs = args[5 + nW + nC2: 5 + nW + 2 * nC2]
-            wsel_refs = args[5 + nW + 2 * nC2: 5 + nW + 2 * nC2 + S]
-            gout_ref = args[5 + nW + 2 * nC2 + S]
-            n_in = 6 + nW + 2 * nC2 + S
-            dx_ref, dsh_ref, der_ref = args[n_in: n_in + 3]
-            dW_refs = args[n_in + 3: n_in + 3 + nW]
-            dwsel_refs = args[n_in + 3 + nW: n_in + 3 + nW + S]
-            dwin_ref, accw_ref = args[n_in + 3 + nW + S:]  # scratch
+            it = iter(args)
+            srcl_ref = next(it)
+            dstl_ref = next(it)
+            x_ref = next(it) if has_x else None
+            shT_ref = next(it)
+            er_ref = next(it)
+            mid_in_ref = next(it) if load_mid else None
+            W_refs = [next(it) for _ in range(nW)]
+            C2_refs = [] if load_mid else [next(it) for _ in range(nC2)]
+            C2T_refs = [next(it) for _ in range(nC2)]
+            wsel_refs = [next(it) for _ in range(S)]
+            gout_ref = next(it)
+            dx_ref = next(it)
+            dsh_ref = next(it)
+            der_ref = next(it)
+            dW_refs = [next(it) for _ in range(nW)]
+            dwsel_refs = [next(it) for _ in range(S)]
+            dwin_ref = next(it)
+            accw_ref = next(it)                            # scratch
 
             t = pl.program_id(0)
 
@@ -1135,24 +1167,34 @@ class PallasFullConv(PallasUVUConv):
                     accw_ref[...] = jnp.zeros(accw_ref.shape,
                                               accw_ref.dtype)
 
-                xw = x_ref[pl.ds(w0, W), :].astype(cd)
                 srcl = srcl_ref[:, b * T: (b + 1) * T]
                 dstl = dstl_ref[:, b * T: (b + 1) * T]
                 iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
                 one_s = (iota == srcl).astype(cd)
                 one_d = (iota == dstl).astype(cd)
-                g_x = jax.lax.dot_general(
-                    one_s, xw, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(cd)
-                xb = jnp.transpose(g_x).reshape(I, mul * T)
+                if has_x:
+                    xw = x_ref[pl.ds(w0, W), :].astype(cd)
+                    g_x = jax.lax.dot_general(
+                        one_s, xw,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(cd)
+                    xb = jnp.transpose(g_x).reshape(I, mul * T)
+                else:
+                    xb = None
                 sh = shT_ref[:, b * T: (b + 1) * T].astype(cd)
                 er = er_ref[b * T: (b + 1) * T, :]
                 pre, w_edge = self._mlp_fwd(er, Wvals)
                 wT2 = jnp.transpose(w_edge)                # [P*mul, T]
 
-                # recompute forward intermediates (remat)
-                mid2, wt2, w2d = self._tp_mid2(xb, sh, wT2, C2vals)
+                if load_mid:
+                    # forward intermediates streamed from the fwd kernel
+                    mid2 = mid_in_ref[...].astype(cd)
+                    wt2 = self._wt2_of(wT2)
+                    w2d = mid2 * wt2
+                else:
+                    # recompute forward intermediates (remat)
+                    mid2, wt2, w2d = self._tp_mid2(xb, sh, wT2, C2vals)
                 contrib = jax.lax.dot_general(
                     w2d, one_d,
                     dimension_numbers=(((1,), (1,)), ((), ())),
@@ -2143,8 +2185,19 @@ class PallasFullConv(PallasUVUConv):
         B = _tile_batch_env()
         if E % (B * T):
             B = 1
+        # stream the TP intermediate fwd -> bwd instead of rematerializing
+        # it (skips the bwd gather, outer build and fwd CG dots at the cost
+        # of one [K2*mul, E] compute-dtype HBM round trip per direction)
+        # Default ON: measured 4510 -> 5120 g/s on the headline config
+        # (TPU v5e, /tmp/r4q4.log A/B interleave); E3_PALLAS_SAVEMID=0
+        # restores the remat backward.
+        save_mid = (os.environ.get("E3_PALLAS_SAVEMID", "1") != "0"
+                    and B == 1)
         fwd_kernel = self._full_fwd_kernel(B)
-        bwd_kernel = self._full_bwd_kernel(B)
+        fwd_kernel_mid = (self._full_fwd_kernel(B, save_mid=True)
+                          if save_mid else None)
+        bwd_kernel = self._full_bwd_kernel(B, load_mid=save_mid)
+        bwd_has_x = (not save_mid) or self.compute_dsh
         interpret = _use_interpret()
         grid = (E // (B * T),)
         BT = B * T
@@ -2152,7 +2205,13 @@ class PallasFullConv(PallasUVUConv):
         def edge_spec(shape):
             return pl.BlockSpec(shape, lambda t, *_: (0, t))
 
-        def run_fwd(x_nodes, shT, er, Ws, wsel):
+        def run_fwd(x_nodes, shT, er, Ws, wsel, with_mid=False):
+            out_specs = pl.BlockSpec((N, out_rows), lambda t, *_: (0, 0))
+            out_shape = jax.ShapeDtypeStruct((N, out_rows), cd)
+            if with_mid:
+                out_specs = [out_specs, edge_spec((K2 * mul, BT))]
+                out_shape = [out_shape,
+                             jax.ShapeDtypeStruct((K2 * mul, E), cd)]
             gspec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=grid,
@@ -2169,38 +2228,43 @@ class PallasFullConv(PallasUVUConv):
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
                 ],
-                out_specs=pl.BlockSpec((N, out_rows), lambda t, *_: (0, 0)),
+                out_specs=out_specs,
                 scratch_shapes=[pltpu.VMEM((K2 * mul, W), jnp.float32)],
             )
             return pl.pallas_call(
-                fwd_kernel,
+                fwd_kernel_mid if with_mid else fwd_kernel,
                 grid_spec=gspec,
                 # the node accumulator leaves the kernel in compute dtype:
                 # each exclusive window is written exactly once (f32 mix
                 # dots, rounded on store), and the downstream formatting /
                 # gate run in compute dtype anyway — halves the formatting
                 # HBM traffic
-                out_shape=jax.ShapeDtypeStruct((N, out_rows), cd),
+                out_shape=out_shape,
                 interpret=interpret,
                 **_compiler_params(interpret),
             )(win0, tile_first, tile_last, srcl, dstl, x_nodes, shT, er,
               *Ws, *C2s, *wsel)
 
-        def run_bwd(x_nodes, shT, er, Ws, wsel, gout):
+        def run_bwd(x_nodes, shT, er, Ws, wsel, gout, mid=None):
+            x_in_specs = ([pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0))]
+                          if bwd_has_x else [])
+            mid_in_specs = [edge_spec((K2 * mul, BT))] if save_mid else []
+            fwd_C2_specs = ([] if save_mid else
+                            [pl.BlockSpec(c.shape, lambda t, *_: (0, 0))
+                             for c in C2s])
             gspec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec((1, BT), lambda t, *_: (0, t)),
                     pl.BlockSpec((1, BT), lambda t, *_: (0, t)),
-                    pl.BlockSpec((N, I * mul), lambda t, *_: (0, 0)),
+                ] + x_in_specs + [
                     edge_spec((J, BT)),
                     pl.BlockSpec((BT, nb), lambda t, *_: (t, 0)),
-                ] + [
+                ] + mid_in_specs + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in Ws
                 ] + [
-                    *[pl.BlockSpec(c.shape, lambda t, *_: (0, 0))
-                      for c in C2s],
+                    *fwd_C2_specs,
                     *[pl.BlockSpec(c.shape, lambda t, *_: (0, 0))
                       for c in C2Ts],
                 ] + [
@@ -2231,27 +2295,39 @@ class PallasFullConv(PallasUVUConv):
             ] + [
                 jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wsel
             ]
+            ins = [win0, tile_first, tile_last, srcl, dstl]
+            if bwd_has_x:
+                ins.append(x_nodes)
+            ins += [shT, er]
+            if save_mid:
+                ins.append(mid)
+            ins += [*Ws]
+            if not save_mid:
+                ins += [*C2s]
+            ins += [*C2Ts, *wsel, gout]
             return pl.pallas_call(
                 bwd_kernel,
                 grid_spec=gspec,
                 out_shape=out_shapes,
                 interpret=interpret,
                 **_compiler_params(interpret),
-            )(win0, tile_first, tile_last, srcl, dstl, x_nodes, shT, er,
-              *Ws, *C2s, *C2Ts, *wsel, gout)
+            )(*ins)
 
         @jax.custom_vjp
         def f(x_nodes, shT, er, Ws, wsel):
             return run_fwd(x_nodes, shT, er, Ws, wsel)
 
         def f_fwd(x_nodes, shT, er, Ws, wsel):
+            if save_mid:
+                acc, mid = run_fwd(x_nodes, shT, er, Ws, wsel, with_mid=True)
+                return acc, (x_nodes, shT, er, Ws, wsel, mid)
             return run_fwd(x_nodes, shT, er, Ws, wsel), (
-                x_nodes, shT, er, Ws, wsel
+                x_nodes, shT, er, Ws, wsel, None
             )
 
         def f_bwd(res, gout):
-            x_nodes, shT, er, Ws, wsel = res
-            outs = run_bwd(x_nodes, shT, er, Ws, wsel, gout)
+            x_nodes, shT, er, Ws, wsel, mid = res
+            outs = run_bwd(x_nodes, shT, er, Ws, wsel, gout, mid=mid)
             dx, dsh, der = outs[:3]
             dWs = list(outs[3: 3 + len(Ws)])
             dwsel = list(outs[3 + len(Ws):])

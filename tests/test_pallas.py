@@ -174,7 +174,10 @@ def test_full_conv_forward_matches():
     assert rel < 1e-5, rel
 
 
-def test_full_conv_grads_match():
+def test_full_conv_grads_match(monkeypatch):
+    # pin the remat backward (SAVEMID defaults on; the streamed-mid path
+    # has its own parity test below) so both backward variants stay covered
+    monkeypatch.setenv("E3_PALLAS_SAVEMID", "0")
     conv, params, full, fused, fc, gb, x, sh, er, N = setup_full(seed=3)
     lp, fcp = params["tp"]["linear"], params["fc"]
     win = jnp.asarray(gb["_edge_tile_win"])
@@ -501,6 +504,52 @@ def test_full_conv_section_pack_matches(monkeypatch):
     assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 1e-5
     ga = jax.grad(loss_full, argnums=(0, 1, 2, 3, 4))(fcp, lp, x, sh, er)
     gref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(fcp, lp, x, sh, er)
+    for ai, bi in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gref)):
+        denom = max(float(jnp.abs(bi).max()), 1e-6)
+        assert float(jnp.abs(ai - bi).max()) / denom < 2e-4
+
+
+@pytest.mark.parametrize("dsh", [True, False])
+def test_full_conv_savemid_matches(monkeypatch, dsh):
+    """E3_PALLAS_SAVEMID=1 — the forward streams the per-tile TP
+    intermediate to the backward, which then skips the x gather, the
+    outer build and the fwd CG dots (and, at compute_dsh=False, drops the
+    node table from its inputs entirely).  Values and every gradient must
+    match the XLA fused reference."""
+    from equivariant_nn_zoo_tpu.ops.pallas.fused_conv import PallasFullConv
+
+    monkeypatch.setenv("E3_PALLAS_SAVEMID", "1")
+    conv, params, full, fused, fc, gb, x, sh, er, N = setup_full(seed=11)
+    if not dsh:
+        full = PallasFullConv(conv.tp, fc, compute_dtype=jnp.float32,
+                              tile=32, window=32, compute_dsh=False)
+    lp, fcp = params["tp"]["linear"], params["fc"]
+    win = jnp.asarray(gb["_edge_tile_win"])
+    tfirst = jnp.asarray(gb["_edge_tile_first"])
+    tlast = jnp.asarray(gb["_edge_tile_last"])
+    srcl = jnp.asarray(gb["_edge_src_local"])
+    dstl = jnp.asarray(gb["_edge_dst_local"])
+
+    def loss_full(fcp_, lp_, x_, sh_, er_):
+        out = full(fcp_, lp_, x_, er_, sh_, win, tfirst, tlast, srcl, dstl,
+                   N, pre_scale=0.5)
+        return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
+                                     ).reshape(out.shape))
+
+    def loss_ref(fcp_, lp_, x_, sh_, er_):
+        out = _ref_out(fused, fc, fcp_, lp_, x_, sh_, er_, gb, N)
+        return jnp.sum(out * jnp.sin(0.1 * jnp.arange(out.size)
+                                     ).reshape(out.shape))
+
+    a = full(fcp, lp, x, er, sh, win, tfirst, tlast, srcl, dstl, N,
+             pre_scale=0.5)
+    b = _ref_out(fused, fc, fcp, lp, x, sh, er, gb, N)
+    assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 1e-5
+    # sh grads only exist on the compute_dsh build
+    argnums = (0, 1, 2, 3, 4) if dsh else (0, 1, 2, 4)
+    ga = jax.grad(loss_full, argnums=argnums)(fcp, lp, x, sh, er)
+    gref = jax.grad(loss_ref, argnums=argnums)(fcp, lp, x, sh, er)
     for ai, bi in zip(jax.tree_util.tree_leaves(ga),
                       jax.tree_util.tree_leaves(gref)):
         denom = max(float(jnp.abs(bi).max()), 1e-6)
