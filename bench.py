@@ -43,11 +43,19 @@ if os.environ.get("E3_COMPILE_CACHE", "1") == "1":
 # stderr that often (a bench phase that goes silent past its expected
 # runtime can then be attributed without a debugger on the box).
 if os.environ.get("E3_FAULT"):
-    import faulthandler
+    try:
+        _fault_secs = int(os.environ["E3_FAULT"])
+        if _fault_secs <= 0:
+            raise ValueError(_fault_secs)
+    except ValueError:
+        sys.stderr.write(
+            "bench: ignoring malformed E3_FAULT=%r (want a positive "
+            "integer number of seconds)\n" % os.environ["E3_FAULT"]
+        )
+    else:
+        import faulthandler
 
-    faulthandler.dump_traceback_later(
-        int(os.environ["E3_FAULT"]), repeat=True
-    )
+        faulthandler.dump_traceback_later(_fault_secs, repeat=True)
 
 
 # --------------------------------------------------------------- data makers
@@ -296,12 +304,23 @@ def kernel_provenance():
     backend = jax.default_backend()
     pallas = backend == "tpu" and os.environ.get("E3_PALLAS", "1") == "1"
     pw = os.environ.get("E3_PALLAS_PAIRWISE", "")
+    # savemid silently disables when tile batching is on (fused_conv.py
+    # gates it to B == 1), so report the EFFECTIVE state, not the flag.
+    tilebatch = int(os.environ.get("E3_PALLAS_TILEBATCH", "1") or 1)
+    savemid_flag = os.environ.get("E3_PALLAS_SAVEMID", "1") != "0"
+    if savemid_flag and tilebatch > 1:
+        sys.stderr.write(
+            "bench: E3_PALLAS_SAVEMID is overridden by "
+            "E3_PALLAS_TILEBATCH=%d (savemid needs B==1); reporting "
+            "savemid=false\n" % tilebatch
+        )
     kernels = {
         "conv": pallas,
         "sc": pallas,
         "pairwise": (pallas and pw != "0") or pw == "force",
         "edgeconv": pallas
         and os.environ.get("E3_PALLAS_EDGECONV", "1") == "1",
+        "savemid": pallas and savemid_flag and tilebatch == 1,
     }
     return {
         "backend": backend,
@@ -675,6 +694,38 @@ def bench_e2e():
          {"dropped_graphs": int(tr.dl_train.dropped_graphs), **best_split})
 
 
+def bench_parity():
+    """On-device kernel parity gate: run the conv (+ext/grad2) and pairwise
+    parity harnesses as subprocesses and emit one JSON line per check, so
+    every hardware bench queue re-proves fwd+grad parity before timing
+    (VERDICT r4 weak #4 — interpret-mode CI can miss Mosaic regressions)."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    checks = [
+        ("conv_parity", [sys.executable,
+                         os.path.join(root, "tools", "_convparity.py")]),
+        ("pairwise_parity", [sys.executable,
+                             os.path.join(root, "tools", "_pwparity.py")]),
+    ]
+    n_fail = 0
+    for name, cmd in checks:
+        t0 = time.time()
+        proc = subprocess.run(
+            cmd, cwd=root, capture_output=True, text=True, timeout=2400
+        )
+        ok = proc.returncode == 0
+        n_fail += 0 if ok else 1
+        # surface the harness's own report (rel-linf per output) for the log
+        sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
+        emit(name, 1.0 if ok else 0.0, {
+            "unit": "ok",
+            "seconds": round(time.time() - t0, 1),
+        })
+    if n_fail:
+        raise SystemExit(f"{n_fail} parity check(s) FAILED")
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "energy"
     if mode == "energy":
@@ -691,6 +742,8 @@ def main():
         )
     elif mode == "e2e":
         bench_e2e()
+    elif mode == "parity":
+        bench_parity()
     elif mode == "all":
         bench_energy()
         bench_energy_force()

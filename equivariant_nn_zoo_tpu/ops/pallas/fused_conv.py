@@ -1429,7 +1429,16 @@ class PallasFullConv(PallasUVUConv):
 
         return kernel
 
-    def _full_bwd_kernel_ext(self):
+    def _full_bwd_kernel_ext(self, save_aux: bool = False):
+        """``save_aux`` (E3_PALLAS_SAVEMID_EXT): additionally stream the
+        per-tile TP intermediate ``mid2`` and the mixing-adjoint gather
+        ``dw2d`` (both [K2*mul, T], computed here anyway) to extra outputs.
+        The second-order backward (_grad2_fused_kernel) recomputes BOTH
+        verbatim — mid2 as its ``mid_c`` substitution term and dw2d from
+        the same (wsel, gout)-only dwin build — so loading them there
+        skips its per-run mix-adjoint matmuls, the dw2d gather dot and one
+        of its three outer builds.  Same streaming pattern as the headline
+        kernels' E3_PALLAS_SAVEMID (block-indexed per-tile outputs)."""
         import jax.experimental.pallas as pl
 
         J, I, mul, T, W = (self.J_dim, self.I_dim, self.mul, self.tile,
@@ -1450,7 +1459,11 @@ class PallasFullConv(PallasUVUConv):
             n_in = 6 + 2 * nC2 + S
             dx_ref, dsh_ref, dwT2_ref = args[n_in: n_in + 3]
             dwsel_refs = args[n_in + 3: n_in + 3 + S]
-            dwin_ref, accw_ref = args[n_in + 3 + S:]       # scratch
+            n_o = n_in + 3 + S
+            if save_aux:
+                mid_out_ref, dw2d_out_ref = args[n_o: n_o + 2]
+                n_o += 2
+            dwin_ref, accw_ref = args[n_o:]                # scratch
 
             t = pl.program_id(0)
             w0 = pl.multiple_of(win0_ref[t], 8)
@@ -1528,6 +1541,10 @@ class PallasFullConv(PallasUVUConv):
                 preferred_element_type=jnp.float32,
             ).astype(cd)                                   # [K2*mul, T]
 
+            if save_aux:
+                mid_out_ref[...] = mid2.astype(mid_out_ref.dtype)
+                dw2d_out_ref[...] = dw2d.astype(dw2d_out_ref.dtype)
+
             # radial-weight cotangent, emitted per tile in _p2 row order
             dwp2 = dw2d * mid2
             dwt_blocks = []
@@ -1598,9 +1615,19 @@ class PallasFullConv(PallasUVUConv):
 
         return kernel
 
-    def _grad2_fused_kernel(self):
+    def _grad2_fused_kernel(self, load_aux: bool = False):
         """One-pass second-order backward for the force-training hot case
         (cotangents present on the dx/dsh/dwT2 outputs, absent on dwsel).
+
+        ``load_aux`` (E3_PALLAS_SAVEMID_EXT): the first-order backward
+        (this op's primal, always live in the force step — it produces
+        the forces) streamed its per-tile ``mid2`` and ``dw2d``; load
+        them here instead of recomputing.  mid2 IS this kernel's
+        ``mid_c`` (same (x, sh) substitution), and dw2d is a function of
+        (wsel, gout) only — identical between the first- and second-
+        order sweeps.  Skips one of the three mid builds, the per-run
+        ``dwin`` mixing-adjoint matmuls and the per-tile dw2d gather
+        dot, at the cost of two [K2*mul, T] compute-dtype loads/tile.
 
         Computes, in a single sweep over edge tiles, the sums the pairing
         rule otherwise assembles from three substituted backward calls and
@@ -1635,15 +1662,23 @@ class PallasFullConv(PallasUVUConv):
         def kernel(win0_ref, first_ref, last_ref, *args):
             (srcl_ref, dstl_ref, x_ref, cx_ref, shT_ref, cshT_ref,
              wT2_ref, cwT_ref) = args[:8]
-            C2_refs = args[8: 8 + nC2]
-            C2T_refs = args[8 + nC2: 8 + 2 * nC2]
-            wsel_refs = args[8 + 2 * nC2: 8 + 2 * nC2 + S]
-            gout_ref = args[8 + 2 * nC2 + S]
-            n_in = 9 + 2 * nC2 + S
+            na = 8
+            if load_aux:
+                mid_in_ref, dw2d_in_ref = args[8:10]
+                na = 10
+            C2_refs = args[na: na + nC2]
+            C2T_refs = args[na + nC2: na + 2 * nC2]
+            wsel_refs = args[na + 2 * nC2: na + 2 * nC2 + S]
+            gout_ref = args[na + 2 * nC2 + S]
+            n_in = na + 1 + 2 * nC2 + S
             dx_ref, dsh_ref, dwT2_ref = args[n_in: n_in + 3]
             dwsel_refs = args[n_in + 3: n_in + 3 + S]
             accg_ref = args[n_in + 3 + S]
-            dwin_ref, accw_ref = args[n_in + 4 + S:]       # scratch
+            if load_aux:
+                dwin_ref = None
+                (accw_ref,) = args[n_in + 4 + S:]          # scratch
+            else:
+                dwin_ref, accw_ref = args[n_in + 4 + S:]   # scratch
 
             t = pl.program_id(0)
             w0 = pl.multiple_of(win0_ref[t], 8)
@@ -1659,38 +1694,41 @@ class PallasFullConv(PallasUVUConv):
 
             @pl.when(first_ref[t] == 1)
             def _():
-                # mixing adjoint for this run — identical for every
-                # substituted backward call (depends on wsel, gout only)
-                gw = gout_ref[pl.ds(w0, W), :].astype(cd)
-                blocks = []
-                for si, sm in enumerate(secs_meta):
-                    used = 0
-                    for g, mx in enumerate(mix2):
-                        Wg, d = mx["Wg"], mx["d"]
-                        for sec in mx["secs"]:
-                            if sec["si"] != si:
-                                continue
-                            ws_g = wsel_refs[sec["idx"]][...]
-                            for dd in range(d):
-                                r0 = mx["out_row"] + dd * Wg
-                                blocks.append(
-                                    jax.lax.dot_general(
-                                        ws_g, gw[:, r0: r0 + Wg],
-                                        dimension_numbers=(
-                                            ((1,), (1,)), ((), ())
-                                        ),
-                                        preferred_element_type=jnp.float32,
-                                    )
-                                )                          # [npg*mul, W]
-                            used += sec["npg"] * d
-                    if sm["K8"] - used:
-                        blocks.append(
-                            jnp.zeros(((sm["K8"] - used) * mul, W),
-                                      jnp.float32)
-                        )
-                dwin_ref[...] = jnp.concatenate(blocks, axis=0).astype(
-                    dwin_ref.dtype
-                )
+                if not load_aux:
+                    # mixing adjoint for this run — identical for every
+                    # substituted backward call (depends on wsel, gout only)
+                    gw = gout_ref[pl.ds(w0, W), :].astype(cd)
+                    blocks = []
+                    for si, sm in enumerate(secs_meta):
+                        used = 0
+                        for g, mx in enumerate(mix2):
+                            Wg, d = mx["Wg"], mx["d"]
+                            for sec in mx["secs"]:
+                                if sec["si"] != si:
+                                    continue
+                                ws_g = wsel_refs[sec["idx"]][...]
+                                for dd in range(d):
+                                    r0 = mx["out_row"] + dd * Wg
+                                    blocks.append(
+                                        jax.lax.dot_general(
+                                            ws_g, gw[:, r0: r0 + Wg],
+                                            dimension_numbers=(
+                                                ((1,), (1,)), ((), ())
+                                            ),
+                                            preferred_element_type=(
+                                                jnp.float32
+                                            ),
+                                        )
+                                    )                      # [npg*mul, W]
+                                used += sec["npg"] * d
+                        if sm["K8"] - used:
+                            blocks.append(
+                                jnp.zeros(((sm["K8"] - used) * mul, W),
+                                          jnp.float32)
+                            )
+                    dwin_ref[...] = jnp.concatenate(
+                        blocks, axis=0
+                    ).astype(dwin_ref.dtype)
                 accw_ref[...] = jnp.zeros(accw_ref.shape, accw_ref.dtype)
 
             srcl = srcl_ref[...]
@@ -1717,7 +1755,10 @@ class PallasFullConv(PallasUVUConv):
             # radial-weight factors (true w, cotangent cw)
             mid_a = self._mid2_of(cxb, sh, C2vs, False)    # (x->cx, s, w)
             mid_b = self._mid2_of(xb, cshv, C2vs, False)   # (x, s->cs, w)
-            mid_c = self._mid2_of(xb, sh, C2vs, False)     # (x, s, w->cw)
+            if load_aux:                                   # (x, s, w->cw)
+                mid_c = mid_in_ref[...].astype(cd)
+            else:
+                mid_c = self._mid2_of(xb, sh, C2vs, False)
             wt_w = self._wt2_of(wT2_ref[...].astype(cd))
             wt_c = self._wt2_of(cwT_ref[...].astype(cd))
 
@@ -1732,11 +1773,14 @@ class PallasFullConv(PallasUVUConv):
             )                                              # [K2*mul, W]
             accw_ref[...] = accw_ref[...] + contrib
 
-            dw2d = jax.lax.dot_general(
-                dwin_ref[...], one_d,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(cd)                                   # [K2*mul, T]
+            if load_aux:
+                dw2d = dw2d_in_ref[...].astype(cd)         # [K2*mul, T]
+            else:
+                dw2d = jax.lax.dot_general(
+                    dwin_ref[...], one_d,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(cd)                               # [K2*mul, T]
 
             # c_w: the b1/b2 radial cotangents share dw2d; emit the sum
             dwp_sum = dw2d * (mid_a + mid_b)
@@ -1855,8 +1899,17 @@ class PallasFullConv(PallasUVUConv):
         C2s, C2Ts = self._C2s, self._C2Ts
         K2 = self.K2
         out_rows = self.out_rows
+        # stream the first-order backward's per-tile mid2/dw2d to HBM so
+        # the second-order backward loads them instead of recomputing
+        # (the ext-path counterpart of E3_PALLAS_SAVEMID; the g2 primal
+        # is always live in a force step — it produces the forces — so
+        # the streams cost only the HBM writes).  Default OFF until the
+        # on-device A/B lands (r5 queue2); =1 enables.
+        save_aux = os.environ.get("E3_PALLAS_SAVEMID_EXT", "0") == "1"
         fwd_kernel = self._full_fwd_kernel_ext()
         bwd_kernel = self._full_bwd_kernel_ext()
+        bwd_kernel_aux = (self._full_bwd_kernel_ext(save_aux=True)
+                          if save_aux else None)
         interpret = _use_interpret()
         grid = (E // T,)
 
@@ -1890,7 +1943,11 @@ class PallasFullConv(PallasUVUConv):
             )(win0, tile_first, tile_last, srcl, dstl, x_nodes, shT, wT2,
               *C2s, *wsel)
 
-        def run_bwd(x_nodes, shT, wT2, wsel, gout):
+        def run_bwd(x_nodes, shT, wT2, wsel, gout, want_aux=False):
+            aux_out_specs = ([edge_spec((K2 * mul, T))] * 2 if want_aux
+                             else [])
+            aux_out_shapes = ([jax.ShapeDtypeStruct((K2 * mul, E), cd)] * 2
+                              if want_aux else [])
             gspec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=grid,
@@ -1916,7 +1973,7 @@ class PallasFullConv(PallasUVUConv):
                     edge_spec((P * mul, T)),                           # dwT2
                 ] + [
                     pl.BlockSpec(w.shape, lambda t, *_: (0, 0)) for w in wsel
-                ],
+                ] + aux_out_specs,                         # mid2, dw2d
                 scratch_shapes=[
                     pltpu.VMEM((K2 * mul, W), cd),             # dwin
                     pltpu.VMEM((K2 * mul, W), jnp.float32),    # accw (remat)
@@ -1928,22 +1985,31 @@ class PallasFullConv(PallasUVUConv):
                 jax.ShapeDtypeStruct((P * mul, E), cd),
             ] + [
                 jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wsel
-            ]
+            ] + aux_out_shapes
             outs = pl.pallas_call(
-                bwd_kernel,
+                bwd_kernel_aux if want_aux else bwd_kernel,
                 grid_spec=gspec,
                 out_shape=out_shapes,
                 interpret=interpret,
                 **_compiler_params(interpret),
             )(win0, tile_first, tile_last, srcl, dstl, x_nodes, shT, wT2,
               *C2s, *C2Ts, *wsel, gout)
+            nw = len(wsel)
+            if want_aux:
+                return (outs[0], outs[1], outs[2], tuple(outs[3: 3 + nw]),
+                        outs[3 + nw], outs[4 + nw])
             return outs[0], outs[1], outs[2], tuple(outs[3:])
 
-        grad2_kernel = self._grad2_fused_kernel()
+        grad2_kernel = self._grad2_fused_kernel(load_aux=save_aux)
 
-        def run_grad2(x_nodes, cx, shT, csh, wT2, cw, wsel, gout):
+        def run_grad2(x_nodes, cx, shT, csh, wT2, cw, wsel, gout,
+                      aux=None):
             """One-pass (c_x, c_s, c_w, c_m, c_g) for the force-training
-            hot case — see _grad2_fused_kernel."""
+            hot case — see _grad2_fused_kernel.  ``aux``: the (mid2,
+            dw2d) streams saved by the first-order backward (present iff
+            save_aux)."""
+            aux_in_specs = ([edge_spec((K2 * mul, T))] * 2 if aux is not None
+                            else [])
             gspec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=grid,
@@ -1956,7 +2022,7 @@ class PallasFullConv(PallasUVUConv):
                     edge_spec((J, T)),
                     edge_spec((P * mul, T)),
                     edge_spec((P * mul, T)),
-                ] + [
+                ] + aux_in_specs + [
                     *[pl.BlockSpec(c.shape, lambda t, *_: (0, 0))
                       for c in C2s],
                     *[pl.BlockSpec(c.shape, lambda t, *_: (0, 0))
@@ -1975,10 +2041,11 @@ class PallasFullConv(PallasUVUConv):
                 ] + [
                     pl.BlockSpec((N, out_rows), lambda t, *_: (0, 0)),  # c_g
                 ],
-                scratch_shapes=[
-                    pltpu.VMEM((K2 * mul, W), cd),             # dwin
-                    pltpu.VMEM((K2 * mul, W), jnp.float32),    # accw
-                ],
+                scratch_shapes=(
+                    ([] if aux is not None
+                     else [pltpu.VMEM((K2 * mul, W), cd)])     # dwin
+                    + [pltpu.VMEM((K2 * mul, W), jnp.float32)]  # accw
+                ),
             )
             out_shapes = [
                 jax.ShapeDtypeStruct((N, I * mul), jnp.float32),
@@ -1989,6 +2056,7 @@ class PallasFullConv(PallasUVUConv):
             ] + [
                 jax.ShapeDtypeStruct((N, out_rows), cd),
             ]
+            aux_ins = tuple(aux) if aux is not None else ()
             outs = pl.pallas_call(
                 grad2_kernel,
                 grid_spec=gspec,
@@ -1996,13 +2064,17 @@ class PallasFullConv(PallasUVUConv):
                 interpret=interpret,
                 **_compiler_params(interpret),
             )(win0, tile_first, tile_last, srcl, dstl, x_nodes, cx,
-              shT, csh, wT2, cw, *C2s, *C2Ts, *wsel, gout)
+              shT, csh, wT2, cw, *aux_ins, *C2s, *C2Ts, *wsel, gout)
             return (outs[0], outs[1], outs[2], tuple(outs[3: 3 + len(wsel)]),
                     outs[3 + len(wsel)])
 
         @jax.custom_vjp
         def g2(x_nodes, shT, wT2, wsel, gout):
-            return run_bwd(x_nodes, shT, wT2, wsel, gout)
+            # with save_aux the primal returns two extra outputs (the
+            # mid2/dw2d streams); f2_bwd discards them, so their incoming
+            # cotangents in g2_bwd are always symbolic zeros
+            return run_bwd(x_nodes, shT, wT2, wsel, gout,
+                           want_aux=save_aux)
 
         def g2_fwd(x_nodes, shT, wT2, wsel, gout):
             # Call g2 itself (not run_bwd): under grad-of-grad the fwd is
@@ -2015,15 +2087,15 @@ class PallasFullConv(PallasUVUConv):
                 lambda p: p.value, (x_nodes, shT, wT2, wsel, gout),
                 is_leaf=lambda p: hasattr(p, "perturbed"),
             )
-            return g2(x_nodes, shT, wT2, wsel, gout), (
-                x_nodes, shT, wT2, wsel, gout
-            )
+            outs = g2(x_nodes, shT, wT2, wsel, gout)
+            aux = outs[4:6] if save_aux else None
+            return outs, (x_nodes, shT, wT2, wsel, gout, aux)
 
         def g2_bwd(res, cots):
             from jax.custom_derivatives import SymbolicZero
 
-            x_nodes, shT, wT2, wsel, gout = res
-            cx, csh, cw, cwsel = cots
+            x_nodes, shT, wT2, wsel, gout, aux = res
+            cx, csh, cw, cwsel = cots[:4]
             # symbolic_zeros: a cotangent slot that is structurally zero
             # (e.g. the force pass discards the dwsel output, so its
             # cotangent never materializes) skips that slot's substituted
@@ -2044,7 +2116,7 @@ class PallasFullConv(PallasUVUConv):
                 # force-training hot case: one fused kernel computes every
                 # cotangent sum (3 bwd + 3 fwd substituted calls collapse)
                 c_x, c_s, c_w, c_m, c_g = run_grad2(
-                    x_nodes, cx, shT, csh, wT2, cw, wsel, gout
+                    x_nodes, cx, shT, csh, wT2, cw, wsel, gout, aux=aux
                 )
                 return (
                     c_x.astype(x_nodes.dtype), c_s.astype(shT.dtype),
@@ -2108,7 +2180,7 @@ class PallasFullConv(PallasUVUConv):
 
         def f2_bwd(res, gout):
             x_nodes, shT, wT2, wsel = res
-            dx, dsh, dwT2, dwsel = g2(x_nodes, shT, wT2, wsel, gout)
+            dx, dsh, dwT2, dwsel = g2(x_nodes, shT, wT2, wsel, gout)[:4]
             return (
                 dx.astype(x_nodes.dtype), dsh.astype(shT.dtype),
                 dwT2.astype(wT2.dtype),
@@ -2318,21 +2390,28 @@ class PallasFullConv(PallasUVUConv):
             return run_fwd(x_nodes, shT, er, Ws, wsel)
 
         def f_fwd(x_nodes, shT, er, Ws, wsel):
+            # when the savemid backward never reads x (compute_dsh off),
+            # keep only a dtype-carrying scalar in the residuals — holding
+            # the whole [N, I*mul] table would raise peak HBM under grad
+            x_res = (x_nodes if bwd_has_x
+                     else jnp.zeros((), x_nodes.dtype))
             if save_mid:
                 acc, mid = run_fwd(x_nodes, shT, er, Ws, wsel, with_mid=True)
-                return acc, (x_nodes, shT, er, Ws, wsel, mid)
+                return acc, (x_res, shT, er, Ws, wsel, mid)
             return run_fwd(x_nodes, shT, er, Ws, wsel), (
-                x_nodes, shT, er, Ws, wsel, None
+                x_res, shT, er, Ws, wsel, None
             )
 
         def f_bwd(res, gout):
-            x_nodes, shT, er, Ws, wsel, mid = res
+            x_res, shT, er, Ws, wsel, mid = res
+            x_nodes = x_res if bwd_has_x else None
+            x_dtype = x_res.dtype
             outs = run_bwd(x_nodes, shT, er, Ws, wsel, gout, mid=mid)
             dx, dsh, der = outs[:3]
             dWs = list(outs[3: 3 + len(Ws)])
             dwsel = list(outs[3 + len(Ws):])
             return (
-                dx.astype(x_nodes.dtype), dsh, der.astype(er.dtype),
+                dx.astype(x_dtype), dsh, der.astype(er.dtype),
                 [d.astype(w.dtype) for d, w in zip(dWs, Ws)],
                 [d.astype(w.dtype) for d, w in zip(dwsel, wsel)],
             )

@@ -300,12 +300,18 @@ def test_full_conv_tile_batched_matches(monkeypatch):
         assert float(jnp.abs(a_ - b_).max()) / denom < 2e-4
 
 
-def test_second_order_conv_double_grad_matches():
+@pytest.mark.parametrize("savemid_ext", ["0", "1"])
+def test_second_order_conv_double_grad_matches(monkeypatch, savemid_ext):
     """grad_order=2 routing (force training): the nested custom_vjp wrapper
     must give the same DOUBLE gradients as the pure-XLA fused path — the
     inner grad (forces, wrt sh/er standing in for positions) runs the
     Pallas backward kernel, the outer training grad differentiates it via
-    the XLA implementation (FactorizedConvolution._second_order_conv)."""
+    the XLA implementation (FactorizedConvolution._second_order_conv).
+
+    savemid_ext=1: the first-order backward streams its per-tile
+    mid2/dw2d and the fused grad2 kernel loads them instead of
+    recomputing (E3_PALLAS_SAVEMID_EXT) — must be bit-compatible math."""
+    monkeypatch.setenv("E3_PALLAS_SAVEMID_EXT", savemid_ext)
     conv, params, full, fused, fc, gb, x, sh, er, N = setup_full(seed=5)
     conv.grad_order = 2
     conv.full_conv = full        # interpret-mode kernels (compute_dsh=True)

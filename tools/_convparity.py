@@ -10,6 +10,7 @@ external-weight (grad_order=2) path, in f32 (tight) and bf16 (loose).
 
 Usage: python _convparity.py
 """
+import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
 import sys
 
 import numpy as np

@@ -1,9 +1,16 @@
-"""Per-op profile of the hamiltonian train step (batch-size arg)."""
+"""Per-op profile of the energy_force train step (grad_order=2 conv path).
+
+Same methodology as _prof2.py (trace-aggregated device_duration_ps —
+jax.block_until_ready is unreliable on the tunneled backend): runs the
+exact bench.py energy_force step and prints device time by HLO category,
+source line, and op name, so the 50 ms wall can be attributed (VERDICT r3
+item 3: is the second-order conv the wall, did apply_T engage?).
+"""
+import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
 import collections
 import glob
 import gzip
 import json
-import sys
 import time
 from functools import partial
 
@@ -20,16 +27,17 @@ def main():
     from equivariant_nn_zoo_tpu.run.loss import Loss
     from equivariant_nn_zoo_tpu.utils import build
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     rng = np.random.default_rng(0)
-    cfg = get_config("config_hamiltonian")
+    batch_size = 64
+    cfg = get_config("config_energy_force")
     model = build(cfg.model_config)
     loss_obj = Loss(dict(cfg.loss_coeffs))
-    mols = B.synthetic_h2o(batch_size * 4, rng)
+    mols = B.synthetic_fragments(batch_size * 4, rng,
+                                 r_max=cfg.model_config.r_max)
     batches, _, _ = B.make_batches(mols, batch_size)
 
     params = model.init(jax.random.PRNGKey(0))
-    optimizer = optax.adam(1e-3)
+    optimizer = optax.adam(1e-2)
     opt_state = optimizer.init(params)
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -50,40 +58,39 @@ def main():
         params, opt_state, loss = train_step(params, opt_state, b)
     jax.block_until_ready(loss)
 
-    n = 50
-    with jax.profiler.trace("/tmp/phamtrace"):
+    n = 20
+    with jax.profiler.trace("/tmp/eftrace"):
         for i in range(n):
             params, opt_state, loss = train_step(params, opt_state,
-                                                 batches[i % 4])
+                                                 batches[i % len(batches)])
         jax.block_until_ready(loss)
     time.sleep(1)
-    tr = sorted(glob.glob("/tmp/phamtrace/**/*.trace.json.gz",
+    tr = sorted(glob.glob("/tmp/eftrace/**/*.trace.json.gz",
                           recursive=True))[-1]
     ev = json.load(gzip.open(tr)).get("traceEvents", [])
     by_src = collections.Counter()
     by_name = collections.Counter()
     by_cat = collections.Counter()
-    n_ops = collections.Counter()
     tot = 0
     for e in ev:
         a = e.get("args", {})
         if e.get("ph") == "X" and "hlo_category" in a:
             d = int(a.get("device_duration_ps", "0")) / 1e9 / n
-            by_src[a.get("source", "?")[:70]] += d
-            by_name[e.get("name", "")[:52]] += d
+            by_src[a.get("source", "?")] += d
+            by_name[e.get("name", "")[:60]] += d
             by_cat[a.get("hlo_category", "?")] += d
-            n_ops[a.get("hlo_category", "?")] += 1.0 / n
             tot += d
-    print(f"total {tot:.2f} ms/step  ({batch_size / (tot/1e3):.0f} graphs/sec)")
-    print("== by category (ms, #ops/step) ==")
-    for s, d in by_cat.most_common(14):
-        print(f"{d:8.3f} {n_ops[s]:7.0f}  {s}")
+    print(f"total {tot:.2f} ms/step  ({batch_size / (tot / 1e3):.0f} "
+          "graphs/sec)")
+    print("== by category ==")
+    for s, d in by_cat.most_common(12):
+        print(f"{d:8.2f}  {s}")
     print("== by source ==")
-    for s, d in by_src.most_common(24):
-        print(f"{d:8.3f}  {s}")
+    for s, d in by_src.most_common(20):
+        print(f"{d:8.2f}  {s}")
     print("== by op name ==")
-    for s, d in by_name.most_common(30):
-        print(f"{d:8.3f}  {s}")
+    for s, d in by_name.most_common(36):
+        print(f"{d:8.2f}  {s}")
 
 
 if __name__ == "__main__":

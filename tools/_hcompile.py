@@ -4,6 +4,7 @@ Usage: python _hcompile.py [batch] [stage]
   stage: lower | compile (default lower)
 Env: E3_PALLAS_PAIRWISE=0|force to pick the head path.
 """
+import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
 import sys
 import time
 

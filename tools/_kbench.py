@@ -1,5 +1,6 @@
 """Microbench of the PallasFullConv hot kernel (layer3 geometry) on the
 real edge layout of the bench batch.  Usage: python _kbench.py [fwd|bwd]"""
+import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
 import sys
 import time
 from functools import partial

@@ -1,10 +1,5 @@
-"""Per-op profile of the hamiltonian train step (bench.py hamiltonian mode).
-
-Usage: python _hprof.py [batch_size]   (default: the reference's batch 16)
-Prints device-time attribution by hlo category / source line / op name,
-aggregated from a jax.profiler trace (wall clocks are unreliable on the
-tunneled backend — see CLAUDE.md).
-"""
+"""Per-op profile of the energy_force train step (grad_order=2 hybrid)."""
+import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
 import collections
 import glob
 import gzip
@@ -18,7 +13,7 @@ import numpy as np
 import bench as B
 
 
-def main(batch_size=16):
+def main():
     import jax
     import optax
 
@@ -26,16 +21,17 @@ def main(batch_size=16):
     from equivariant_nn_zoo_tpu.run.loss import Loss
     from equivariant_nn_zoo_tpu.utils import build
 
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     rng = np.random.default_rng(0)
-    cfg = get_config("config_hamiltonian")
+    cfg = get_config("config_energy_force")
     model = build(cfg.model_config)
     loss_obj = Loss(dict(cfg.loss_coeffs))
-    mols = B.synthetic_h2o(batch_size * 4, rng)
+    mols = B.synthetic_fragments(batch_size * 4, rng,
+                                 r_max=cfg.model_config.r_max)
     batches, _, _ = B.make_batches(mols, batch_size)
-    batches = [jax.device_put(gb) for gb in batches]
 
     params = model.init(jax.random.PRNGKey(0))
-    optimizer = optax.adam(1e-3)
+    optimizer = optax.adam(1e-2)
     opt_state = optimizer.init(params)
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -50,21 +46,21 @@ def main(batch_size=16):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    params, opt_state, loss = train_step(params, opt_state, batches[0])
+    jax.block_until_ready(loss)
     for b in batches:
         params, opt_state, loss = train_step(params, opt_state, b)
     jax.block_until_ready(loss)
 
-    n = 50
-    with jax.profiler.trace("/tmp/hprof_trace"):
+    n = 20
+    with jax.profiler.trace("/tmp/pforcetrace"):
         for i in range(n):
-            params, opt_state, loss = train_step(
-                params, opt_state, batches[i % len(batches)]
-            )
+            params, opt_state, loss = train_step(params, opt_state,
+                                                 batches[i % 4])
         jax.block_until_ready(loss)
     time.sleep(1)
-    tr = sorted(glob.glob(
-        "/tmp/hprof_trace/**/*.trace.json.gz", recursive=True
-    ))[-1]
+    tr = sorted(glob.glob("/tmp/pforcetrace/**/*.trace.json.gz",
+                          recursive=True))[-1]
     ev = json.load(gzip.open(tr)).get("traceEvents", [])
     by_src = collections.Counter()
     by_name = collections.Counter()
@@ -74,22 +70,21 @@ def main(batch_size=16):
         a = e.get("args", {})
         if e.get("ph") == "X" and "hlo_category" in a:
             d = int(a.get("device_duration_ps", "0")) / 1e9 / n
-            by_src[a.get("source", "?")] += d
-            by_name[e.get("name", "")[:60]] += d
+            by_src[a.get("source", "?")[:78]] += d
+            by_name[e.get("name", "")[:56]] += d
             by_cat[a.get("hlo_category", "?")] += d
             tot += d
-    print(f"total {tot:.2f} ms/step  "
-          f"({batch_size / (tot / 1e3):.0f} graphs/sec, batch {batch_size})")
+    print(f"total {tot:.2f} ms/step  ({batch_size / (tot/1e3):.0f} graphs/sec)")
     print("== by category ==")
     for s, d in by_cat.most_common(14):
         print(f"{d:8.3f}  {s}")
     print("== by source ==")
-    for s, d in by_src.most_common(20):
+    for s, d in by_src.most_common(30):
         print(f"{d:8.3f}  {s}")
     print("== by op name ==")
-    for s, d in by_name.most_common(30):
+    for s, d in by_name.most_common(36):
         print(f"{d:8.3f}  {s}")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 16)
+    main()

@@ -10,6 +10,7 @@ Measures forward and forward+backward of one internal-weight uvu expansion
 PallasPairwiseTP vs the XLA _expand_fused lowering.  Many iterations so the
 dispatch queue applies backpressure (tunnel timing rule, CLAUDE.md).
 """
+import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
 
 import sys
 import time

@@ -1,4 +1,5 @@
 """cProfile the fwd pairwise-kernel lower() (client-side Mosaic pass)."""
+import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
 import cProfile
 import io
 import pstats

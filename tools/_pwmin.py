@@ -2,6 +2,7 @@
 one tile, full traceback.  Usage: python _pwmin.py [M] [what]
   what: fwd | bwd | both (default fwd)
 """
+import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
 import sys
 import time
 import traceback

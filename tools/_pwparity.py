@@ -10,6 +10,7 @@ f32 XLA reference.
 
 Usage: python _pwparity.py [M]   (default 768 = batch-128 H2O off-diag)
 """
+import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
 
 import sys
 

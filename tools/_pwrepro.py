@@ -1,5 +1,6 @@
 """Repro: run the hamiltonian train step with the pairwise kernel on TPU
 and print the full error."""
+import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
 import sys
 import traceback
 from functools import partial

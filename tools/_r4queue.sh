@@ -9,7 +9,7 @@ touch /tmp/tpu_bench_running
 trap 'rm -f /tmp/tpu_bench_running' EXIT
 echo "=== queue start $(date)"
 echo "=== pairwise kernel on-device parity $(date)"
-timeout 1500 python _pwparity.py
+timeout 1500 python tools/_pwparity.py
 echo "=== hamiltonian b16 (kernel default, batched-lowering build) $(date)"
 timeout 2700 python bench.py hamiltonian 16
 echo "=== hamiltonian b16 ablation E3_PALLAS_PAIRWISE=0 (batched lowering) $(date)"

@@ -14,10 +14,10 @@ timeout 1500 python bench.py e2e
 echo "=== e2e wire=0 ablation $(date)"
 E3_WIRE=0 timeout 1500 python bench.py e2e
 echo "=== energy_force per-op trace $(date)"
-timeout 1800 python _efprof.py
+timeout 1800 python tools/_efprof.py
 echo "=== headline config_energy $(date)"
 timeout 1200 python bench.py
 echo "=== DONE $(date)"
 echo "=== headline per-op trace (_prof2) $(date)"
-timeout 1200 python _prof2.py
+timeout 1200 python tools/_prof2.py
 echo "=== QUEUE3 ALL DONE $(date)"

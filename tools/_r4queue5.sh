@@ -14,7 +14,7 @@ echo "=== queue5 start $(date)"
 echo "=== headline (savemid default) $(date)"
 timeout 1200 python bench.py
 echo "=== savemid per-op trace (_prof2) $(date)"
-timeout 1200 python _prof2.py
+timeout 1200 python tools/_prof2.py
 echo "=== energy_force fresh wall $(date)"
 timeout 1800 python bench.py energy_force
 echo "=== diffusion $(date)"

@@ -1,12 +1,12 @@
-"""Convergence soak on the separable synthetic QM9-format task: validates
-that the current kernel numerics (bf16 acc output, f32 accw, sc merge)
-still TRAIN — validation MAE must descend hard over a dozen epochs.
-Round-2 reference point: 12 epochs -> MAE 0.42 eV (still descending)."""
+"""Trainer-level TPU soak: real DataLoader (tile-aligned quantile
+capacities + overflow deferral) driving the jitted train step on synthetic
+QM9-format HDF5; reports sustained graphs/sec vs bench.py."""
+import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
+import os
 import time
-from functools import partial
 
-import numpy as np
 import h5py
+import numpy as np
 
 
 def main():
@@ -17,12 +17,13 @@ def main():
     from equivariant_nn_zoo_tpu.models import get_config
     from equivariant_nn_zoo_tpu.run import Trainer
     from equivariant_nn_zoo_tpu.utils import build
+    from functools import partial
 
     rng = np.random.default_rng(0)
-    path = "/tmp/conv_qm9.hdf5"
+    path = "/tmp/soak_qm9.hdf5"
     E_SP = {1: -16.4, 6: -1036.0, 7: -1489.0, 8: -2047.0}
     Rs, Zs, Us, nn = [], [], [], []
-    for _ in range(4096):
+    for _ in range(8192):
         n = int(rng.integers(8, 24))
         pos = rng.normal(size=(n, 3)) * 1.4
         z = rng.choice([1, 6, 7, 8], size=(n, 1), p=[0.5, 0.3, 0.1, 0.1])
@@ -52,32 +53,35 @@ def main():
         cache_preprocessed=True,
     )
     tr = Trainer(
-        model=model, workdir="/tmp/conv_wd", seed=0,
-        data_config={"n_train": 3584, "n_val": 512, "shuffle": True,
-                     "num_workers": 2, "cache_preprocessed": True},
+        model=model, workdir="/tmp/soak_wd", seed=0,
+        data_config={"n_train": 7680, "n_val": 512, "shuffle": True,
+                     "num_workers": 4, "cache_preprocessed": True},
         loss_coeffs={"total_energy": [1.0, "MSELoss"]},
         metrics_components={"total_energy": ["mae"]},
         metric_key="validation_loss", learning_rate=1e-2,
-        optimizer_name="Adam", lr_scheduler_name="ReduceLROnPlateau",
-        lr_scheduler_factor=0.8, lr_scheduler_patience=1,
-        use_ema=True, ema_decay=0.99, max_epochs=14, batch_size=128,
-        log_period=10000, save_period=0,
+        optimizer_name="Adam", lr_scheduler_name="none",
+        use_ema=True, max_epochs=2, batch_size=128, log_period=10000,
+        save_period=0,
     )
     tr.set_dataset(ds)
+    print("caps:", tr.dl_train.node_capacity, tr.dl_train.edge_capacity,
+          "tile:", tr.dl_train.edge_tile)
     tr.init_metrics()
-    maes = []
-    for epoch in range(14):
+    import jax
+
+    for epoch in range(3):
+        n = 0
         t0 = time.perf_counter()
-        tr.epoch_step()
-        mae = float(tr.mae_dict["validation_total_energy_mae"])
-        maes.append(mae)
-        print(f"epoch {epoch}: val MAE {mae:.4f} eV "
-              f"({time.perf_counter()-t0:.1f}s)", flush=True)
-    # measured trajectory with the round-3 kernels: 4.38 -> 0.80 eV,
-    # monotone descent (LR plateau steps included)
-    assert maes[-1] < maes[0] * 0.25, (maes[0], maes[-1])
-    print(f"CONVERGED: MAE {maes[0]:.2f} -> {maes[-1]:.4f} eV over "
-          f"{len(maes)} epochs")
+        for batch in tr._device_prefetch(iter(tr.dl_train)):
+            tr.batch_step(batch)
+            n += 1
+        jax.block_until_ready(tr.params)
+        dt = time.perf_counter() - t0
+        gps = n * 128 / dt
+        tag = " (compile+cache-fill)" if epoch == 0 else ""
+        print(f"epoch {epoch}: {n} steps, {gps:.0f} graphs/sec{tag}; "
+              f"dropped={tr.dl_train.dropped_graphs}")
+    print("bench.py step-only reference: ~4071 graphs/sec")
 
 
 if __name__ == "__main__":

@@ -1,6 +1,7 @@
 """Isolate the tunnel H2D cost: device_put of a regular GraphBatch (14
 leaves) vs its to_wire() form (2 blobs).  Also times to_wire itself and a
 full producer iteration (pack + put)."""
+import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
 import time
 
 import numpy as np
