@@ -321,6 +321,16 @@ def kernel_provenance():
         "edgeconv": pallas
         and os.environ.get("E3_PALLAS_EDGECONV", "1") == "1",
         "savemid": pallas and savemid_flag and tilebatch == 1,
+        # ext (grad_order=2) kernels' streamed-aux variant (the ext path
+        # never tile-batches, so no B gate); default off until the
+        # on-device A/B lands (fused_conv.py:1908)
+        "savemid_ext": pallas
+        and os.environ.get("E3_PALLAS_SAVEMID_EXT", "0") == "1",
+        # kernel-layout inter-layer handoff (message_passing.py kl):
+        # gated features stream between conv layers in node-table layout,
+        # skipping the per-layer (m, d) transpose round trip
+        "klayout": pallas
+        and os.environ.get("E3_KLAYOUT", "0") == "1",
     }
     return {
         "backend": backend,

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax.numpy as jnp
+
 from .mlp import FullyConnectedNet
 from .module import Module
 from .pointwise import LayerNormalization, TensorProductExpansion
@@ -135,8 +137,13 @@ class FactorizedConvolution(Module):
                 # NLL-score heads need second-order autodiff, which the
                 # kernel's custom VJP does not provide — those layers are
                 # built with pallas=False by the config builders).
+                # "force" builds the Pallas paths on a non-TPU backend too
+                # (interpret mode) — CI parity tests for the model-level
+                # kernel plumbing (kl handoff, sc folding)
                 if pallas is None:
-                    pallas = os.environ.get("E3_PALLAS", "1") == "1"
+                    pallas = os.environ.get("E3_PALLAS", "1") in (
+                        "1", "force"
+                    )
                 self.fused_conv = None
                 self.full_conv = None
                 self.edge_conv = None
@@ -150,7 +157,8 @@ class FactorizedConvolution(Module):
 
                         from ..ops.pallas.fused_conv import PallasUVUConv
 
-                        if _jax.default_backend() == "tpu":
+                        if (_jax.default_backend() == "tpu"
+                                or os.environ.get("E3_PALLAS") == "force"):
                             self.edge_conv = PallasUVUConv(
                                 self.tp, compute_dtype=cd
                             )
@@ -165,7 +173,8 @@ class FactorizedConvolution(Module):
                             PallasUVUConv,
                         )
 
-                        if _jax.default_backend() == "tpu":
+                        if (_jax.default_backend() == "tpu"
+                                or os.environ.get("E3_PALLAS") == "force"):
                             # whole-conv kernel, used when the batch is
                             # tile-aligned (GraphBatch edge_tile mode).
                             # INVARIANT: the kernel's VJP writes ZEROS for the
@@ -239,6 +248,21 @@ class FactorizedConvolution(Module):
         edge_src = data["edge_index"][0]
         edge_dst = data["edge_index"][1]
 
+        # kernel-layout handoff (E3_KLAYOUT=1): the previous MessagePassing
+        # layer streamed its gated output as the conv's node-table layout
+        # (input_features__kl) alongside the formatted columns; consuming
+        # the table drops the per-layer (m, d) transpose round trip
+        # (format -> gate -> prep) from the step.  The formatted branch of
+        # the producer is then dead code under jit.
+        import os as _os
+
+        kl_env = _os.environ.get("E3_KLAYOUT", "0") == "1"
+        kl_t = None
+        if (kl_env and self.full_conv is not None
+                and "_edge_tile_last" in data and self.grad_order < 2
+                and self.linear_1._kl_eligible()):
+            kl_t = data.get("input_features__kl")
+
         sc_raw = None
         if self.use_sc:
             if (
@@ -249,9 +273,16 @@ class FactorizedConvolution(Module):
                 if self.full_conv is not None and "_edge_tile_last" in data:
                     # component-major blocks folded into the conv's output
                     # formatting (one node-sized transpose for the sum)
-                    sc_raw = self.species_sc.apply_raw(
-                        params["sc"], x, data["node_attrs"], data["species"]
-                    )
+                    if kl_t is not None and self.species_sc._kl_ok:
+                        sc_raw = self.species_sc.apply_raw(
+                            params["sc"], kl_t, data["node_attrs"],
+                            data["species"], x_is_table=True,
+                        )
+                    else:
+                        sc_raw = self.species_sc.apply_raw(
+                            params["sc"], x, data["node_attrs"],
+                            data["species"]
+                        )
                     sc = None
                 else:
                     sc = self.species_sc.apply(
@@ -262,7 +293,13 @@ class FactorizedConvolution(Module):
             else:
                 sc = self.sc.apply(params["sc"], x, data["node_attrs"])
 
-        x = self.linear_1.apply(params["linear_1"], x)
+        x_table = None
+        if kl_t is not None:
+            x_table = self.linear_1.apply_kl(
+                params["linear_1"], kl_t, kl_t.shape[0]
+            )
+        else:
+            x = self.linear_1.apply(params["linear_1"], x)
         tp_params = params["tp"]
         if self.full_conv is not None and "_edge_tile_last" in data:
             # whole-conv Pallas kernel: the radial MLP runs in-kernel, the
@@ -278,6 +315,7 @@ class FactorizedConvolution(Module):
                 data["_edge_tile_last"], data["_edge_src_local"],
                 data["_edge_dst_local"],
             )
+            blocks = None
             if self.grad_order >= 2:
                 out = self._second_order_conv(
                     params["fc"], tp_params["linear"], x, edge_radial,
@@ -285,16 +323,28 @@ class FactorizedConvolution(Module):
                     x.shape[0], pre,
                 )
             else:
+                # emit the pre-transpose blocks for the NEXT layer's kl
+                # consumption only when the sc is folded in raw form (or
+                # absent) — a formatted sc added below would be missing
+                # from the blocks
+                want_blocks = kl_env and (sc_raw is not None
+                                          or not self.use_sc)
                 out = self.full_conv(
                     params["fc"], tp_params["linear"], x, edge_radial,
                     data["edge_spherical"], *tile_args,
                     x.shape[0], pre_scale=pre, extra_io=sc_raw,
+                    raw_out=want_blocks, x_table=x_table,
                 )
+                if want_blocks:
+                    out, blocks = out
             if self.use_sc and sc_raw is None:
                 out = out + sc
             is_per = attrs["input_features"][0]
+            ret = {"output_features": out}
+            if blocks is not None:
+                ret["output_features_blocks"] = blocks
             return (
-                {"output_features": out},
+                ret,
                 {"output_features": (is_per,
                                      self.irreps_out["output_features"])},
             )
@@ -436,6 +486,49 @@ class MessagePassing(Module):
 
         self.resnet = bool(resnet) and irreps_layer_out == irreps_layer_out_prev
 
+        # kernel-layout handoff plan (E3_KLAYOUT=1): map the conv's
+        # SIMPLIFIED output slots back to the gate's unsimplified entries
+        # (simplify only merges adjacent equal irreps, so each gate entry
+        # is a contiguous channel range of one conv slot), and require a
+        # single uniform multiplicity on the gate's OUTPUT entries so the
+        # gated blocks stack into the next layer's node table
+        # (fused_conv._prep_x_nodes layout).
+        self._kl_split = None
+        self._kl_out_mul = None
+        if nonlinearity_type == "gate":
+            conv_ir = Irreps(conv_irreps_out)
+            split = []
+            io, used = 0, 0
+            ok = len(conv_ir) > 0
+            for mi in self.equivariant_nonlin.irreps_in:
+                while io < len(conv_ir) and used == conv_ir[io].mul:
+                    io += 1
+                    used = 0
+                if (io >= len(conv_ir) or conv_ir[io].ir != mi.ir
+                        or used + mi.mul > conv_ir[io].mul):
+                    ok = False
+                    break
+                split.append((io, used, mi.mul, mi.ir.dim))
+                used += mi.mul
+            if ok and not (io == len(conv_ir) - 1
+                           and used == conv_ir[io].mul):
+                ok = False
+            out_ir = self.equivariant_nonlin.irreps_out
+            muls = {mi.mul for mi in out_ir}
+            if ok and len(muls) == 1 and len(out_ir):
+                self._kl_split = split
+                self._kl_out_mul = muls.pop()
+        in_custom = next(
+            (k for k, v in self.input_key_mapping.items()
+             if v == "input_features"),
+            "input_features",
+        )
+        self._kl_in_key = in_custom + "__kl"
+        out_custom = self.output_key_mapping.get(
+            "output_features", "output_features"
+        )
+        self._kl_out_key = out_custom + "__kl"
+
         self.conv = self.add_child(
             "conv",
             build(
@@ -458,10 +551,21 @@ class MessagePassing(Module):
             )
 
     def apply(self, params, data: Dict, attrs: Dict):
+        import os as _os
+
         old_x = data["input_features"]
+        # kl handoff (E3_KLAYOUT=1): alias the incoming kernel-layout
+        # table (written by the previous layer under its OUTPUT custom
+        # key + "__kl", passed through the key maps untouched) to the
+        # conv's internal name
+        kl_env = _os.environ.get("E3_KLAYOUT", "0") == "1"
+        if kl_env and self._kl_in_key in data:
+            data = dict(data)
+            data["input_features__kl"] = data[self._kl_in_key]
         conv_out, _ = self.conv.apply(params["conv"], data, attrs)
         output = conv_out["output_features"]
         output = self.equivariant_nonlin(output)
+        blocks = conv_out.get("output_features_blocks")
         if self.resnet:
             output = old_x + output
         if self.normalize:
@@ -475,4 +579,25 @@ class MessagePassing(Module):
         out_attrs = {
             "output_features": (is_per, self.irreps_out["output_features"])
         }
-        return {"output_features": output}, out_attrs
+        ret = {"output_features": output}
+        if (blocks is not None and self._kl_split is not None
+                and not self.resnet and not self.normalize):
+            # gate the pre-transpose conv blocks in kernel layout and
+            # emit the next layer's node table; under jit, whichever of
+            # {formatted output, kl table} the next layer leaves unread
+            # is dead code, so emitting both costs nothing
+            N = output.shape[0]
+            entries = []
+            for io, ofs, m, d in self._kl_split:
+                blk = blocks.get(io)
+                if blk is None:
+                    entries.append(jnp.zeros((N, d, m), jnp.float32))
+                else:
+                    entries.append(
+                        blk[:, :, ofs: ofs + m].astype(jnp.float32)
+                    )
+            out_blocks = self.equivariant_nonlin.apply_kl(entries)
+            table = jnp.concatenate(out_blocks, axis=1).reshape(N, -1)
+            ret[self._kl_out_key] = table
+            out_attrs[self._kl_out_key] = (is_per, str(table.shape[-1]))
+        return ret, out_attrs

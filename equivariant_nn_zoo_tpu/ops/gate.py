@@ -163,6 +163,28 @@ class Gate:
             else jnp.zeros(x.shape[:-1] + (0,), dtype=x.dtype)
         )
 
+    def apply_kl(self, blocks):
+        """Kernel-layout gate: ``blocks`` holds one ``[N, d, mul]``
+        component-major block per UNSIMPLIFIED ``irreps_in`` entry
+        (scalars + gates + gated order — the PallasFullConv
+        ``_output_blocks`` split along merged slots).  Returns the output
+        entries' blocks (scalars + gated).  In this layout the gate
+        channel IS the feature channel (the mul axis), so the gated
+        multiply broadcasts a ``[N, 1, mul]`` activated-gate block over
+        components — no gate-expansion matmul, no (mul, d) reshapes."""
+        ns = len(self.irreps_scalars)
+        ng = len(self.irreps_gates)
+        assert len(blocks) == ns + ng + len(self.irreps_gated)
+        out = []
+        for blk, act in zip(blocks[:ns], self.act_scalars):
+            out.append(act(blk))
+        gates = [
+            act(b) for b, act in zip(blocks[ns: ns + ng], self.act_gates)
+        ]
+        for g, blk in zip(gates, blocks[ns + ng:]):
+            out.append(blk * g)                  # [N, d, mul] * [N, 1, mul]
+        return out
+
 
 class NormActivation:
     """Norm-based nonlinearity: x -> x/|x| * f(|x|) per irrep channel.

@@ -2423,21 +2423,33 @@ class PallasFullConv(PallasUVUConv):
     def __call__(self, fc_params, linear_params, x, edge_radial, sh,
                  win0, tile_first, tile_last, src_local, dst_local,
                  num_nodes: int, pre_scale=None, out_dtype=jnp.float32,
-                 extra_io=None):
+                 extra_io=None, raw_out=False, x_table=None):
         """Full conv on a tile-aligned batch; returns node features
         [num_nodes, out_dim] (the segment-sum is internal).
 
         ``extra_io``: optional {io: [N, d_io, mul_out]} component-major
         blocks (e.g. the species self-connection, sc.py apply_raw) folded
         in BEFORE the output transpose, so the node-sized (m, d) relayout
-        is paid once for the sum instead of once per term."""
+        is paid once for the sum instead of once per term.
+
+        ``raw_out``: additionally return the pre-transpose per-io blocks
+        (``_output_blocks``) for the kernel-layout inter-layer handoff.
+        ``x_table``: consume ``x`` as an already-prepped node table
+        [N, I*mul] (the previous layer's kl output) instead of irreps
+        columns; ``x`` is ignored when given."""
         cd = self.compute_dtype
         E = sh.shape[0]
         T = self.tile
         mul, I = self.mul, self.I_dim
         assert E % T == 0
 
-        x_nodes = self._prep_x_nodes(x, num_nodes)
+        if x_table is not None:
+            # kl handoff: x IS already the node table (the previous
+            # layer's gated _output_blocks, Gate.apply_kl) — skip the
+            # (m, d) transpose prep
+            x_nodes = x_table.astype(cd)
+        else:
+            x_nodes = self._prep_x_nodes(x, num_nodes)
         shT = jnp.transpose(sh, (1, 0)).astype(cd)
         er = edge_radial.astype(jnp.float32)
         Ws = []
@@ -2456,7 +2468,14 @@ class PallasFullConv(PallasUVUConv):
                                  tile_last.astype(jnp.int32),
                                  srcl, dstl)
         acc = f(x_nodes, shT, er, Ws, wsel)     # [N, out_rows] compute dtype
-        return self._format_output(acc, num_nodes, extra_io, out_dtype)
+        out = self._format_output(acc, num_nodes, extra_io, out_dtype)
+        if raw_out:
+            # return the formatted columns AND the pre-transpose blocks;
+            # whichever branch the caller leaves unconsumed is dead code
+            # under jit (only the last layer's formatted output feeds the
+            # head), so both cost nothing extra
+            return out, self._output_blocks(acc, num_nodes, extra_io)
+        return out
 
     def _prep_x_nodes(self, x, num_nodes):
         """x [N, irreps layout] -> node table [N, (i, u)] in compute dtype."""
@@ -2473,13 +2492,17 @@ class PallasFullConv(PallasUVUConv):
             num_nodes, I * mul
         ).astype(cd)
 
-    def _format_output(self, acc, num_nodes, extra_io=None,
-                       out_dtype=jnp.float32):
-        """kernel rows (g, dd, io, u) -> irreps_out columns (io, u, dd) via
-        dense slices + one transpose per (group, io) — an elementwise
-        jnp.take gather here costs ~20x the bandwidth floor on TPU.
-        Formatting stays in compute dtype; the cast to out_dtype happens
-        on the final per-io blocks."""
+    def _output_blocks(self, acc, num_nodes, extra_io=None):
+        """kernel rows (g, dd, io, u) -> component-major per-io blocks
+        ``{io: [N, d_io, mul_io]}`` in compute dtype (sc ``extra_io``
+        folded in) — the pre-transpose stage of ``_format_output``.
+
+        The kernel-layout (kl) inter-layer handoff consumes these blocks
+        directly: the NEXT layer's ``_prep_x_nodes`` table is exactly
+        these blocks stacked along the component axis, so emitting them
+        (gated in-place, see Gate.apply_kl) instead of formatted columns
+        deletes the per-layer (m, d) transpose round trip — format ->
+        gate -> prep — from both the forward and its adjoint."""
         extra_io = extra_io or {}
         per_io = {}
         for g, mx in enumerate(self._mix):
@@ -2492,20 +2515,30 @@ class PallasFullConv(PallasUVUConv):
                 ]                                     # [N, d, mul_out]
                 if io in extra_io:
                     blk = blk + extra_io[io].astype(blk.dtype)
-                per_io[io] = jnp.transpose(blk, (0, 2, 1)).reshape(
-                    num_nodes, mo_mul * d
-                )
+                per_io[io] = blk
                 w_ofs += mo_mul
         for io, sc_blk in extra_io.items():
-            if io not in per_io:  # sc-only outputs still need formatting
-                d = sc_blk.shape[1]
-                per_io[io] = jnp.transpose(sc_blk, (0, 2, 1)).reshape(
-                    num_nodes, -1
-                )
+            if io not in per_io:  # sc-only outputs
+                per_io[io] = sc_blk
+        return per_io
+
+    def _format_output(self, acc, num_nodes, extra_io=None,
+                       out_dtype=jnp.float32):
+        """kernel rows (g, dd, io, u) -> irreps_out columns (io, u, dd) via
+        dense slices + one transpose per (group, io) — an elementwise
+        jnp.take gather here costs ~20x the bandwidth floor on TPU.
+        Formatting stays in compute dtype; the cast to out_dtype happens
+        on the final per-io blocks."""
+        per_io = self._output_blocks(acc, num_nodes, extra_io)
         outs = []
         for io, mo in enumerate(self.linear.irreps_out):
             if io in per_io:
-                outs.append(per_io[io].astype(out_dtype))
+                blk = per_io[io]                      # [N, d, mul_out]
+                outs.append(
+                    jnp.transpose(blk, (0, 2, 1)).reshape(
+                        num_nodes, mo.mul * mo.ir.dim
+                    ).astype(out_dtype)
+                )
             else:
                 outs.append(
                     jnp.zeros((num_nodes, mo.mul * mo.ir.dim), out_dtype)

@@ -63,6 +63,9 @@ class SpeciesScalarFCTP:
             x_offsets[i1] = x_ofs
             x_ofs += mi.mul * mi.ir.dim
         self.in_dim = x_ofs
+        # kernel-layout input eligibility: row = col // mul needs one
+        # uniform multiplicity across irreps_in1 (the feature irreps)
+        self._kl_ok = len({mi.mul for mi in ir1}) == 1
         for ins in tp.instructions:
             shape = tp._weight_shape(ins)  # (mul1, mul2, mul_out)
             n = int(np.prod(shape))
@@ -137,9 +140,17 @@ class SpeciesScalarFCTP:
             tables.append(A.reshape(self.num_types * grp["M1"], grp["O"]))
         return tables
 
-    def _prep_x(self, x):
-        """x [N, in_dim] -> per-group row-expanded blocks [(N*d), M1]."""
+    def _prep_x(self, x, x_is_table=False):
+        """x [N, in_dim] -> per-group row-expanded blocks [(N*d), M1].
+
+        ``x_is_table``: x is already the kernel-layout node table
+        [N, I*mul] (fused_conv._prep_x_nodes layout, uniform mul) — the
+        per-item block is a ROW slice there, no (mul, d) transpose.
+        Requires uniform input multiplicity (row = col // mul)."""
         N = x.shape[0]
+        if x_is_table:
+            mul = self.tp.irreps_in1[0].mul
+            t = x.reshape(N, -1, mul)
         blocks = []
         for grp in self._groups:
             cols = []
@@ -147,6 +158,13 @@ class SpeciesScalarFCTP:
                 it = self.items[j]
                 mul1, _, _ = it["shape"]
                 d = it["d"]
+                if x_is_table:
+                    r0 = it["x_ofs"] // mul1
+                    cols.append(
+                        t[:, r0: r0 + d, :].reshape(N * d, mul1)
+                        .astype(self.compute_dtype)
+                    )
+                    continue
                 b = x[:, it["x_ofs"]: it["x_ofs"] + mul1 * d]
                 cols.append(
                     jnp.transpose(b.reshape(N, mul1, d), (0, 2, 1)).reshape(
@@ -335,14 +353,18 @@ class SpeciesScalarFCTP:
         return f
 
     # ------------------------------------------------------------ interface
-    def apply_raw(self, params, x, attrs, species):
+    def apply_raw(self, params, x, attrs, species, x_is_table=False):
         """Per-io component-major blocks {io: [N, d, mul_out]} BEFORE the
         final (m, d) transpose — lets the conv's output formatting fold the
         self-connection in and pay the node-sized transpose only once
-        (see FactorizedConvolution.apply)."""
+        (see FactorizedConvolution.apply).  ``x_is_table``: consume the
+        kernel-layout node table instead of irreps columns (requires
+        ``self._kl_ok``)."""
         N = x.shape[0]
         assert N % self.tile == 0, (N, self.tile)
-        xs = self._prep_x(x)
+        if x_is_table:
+            assert self._kl_ok
+        xs = self._prep_x(x, x_is_table=x_is_table)
         tables = self._tables(params, attrs, species)
         spec = species.reshape(N, 1).astype(jnp.int32)
         specs = [

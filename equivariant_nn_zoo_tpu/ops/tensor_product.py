@@ -321,6 +321,17 @@ class Linear:
             else []
         )
         self._build_lgroups()
+        # Widest input column any path actually reads.  Configs routinely
+        # declare irreps_in wider than the producing layer's true output
+        # (e.g. an energy head declared on the full node_features string
+        # atop a shallow trunk whose tp_path_exists narrowing dropped the
+        # tail slots) — legal as long as every slot with a live path is
+        # present.  Reading PAST the input silently clamps the slice and
+        # garbles the reshape, so validate against this bound at apply.
+        in_slices = self.irreps_in.slices()
+        self._max_read = max(
+            (in_slices[ii].stop for ii, _ in self.paths), default=0
+        )
 
     def _build_lgroups(self):
         """Batched-by-degree lowering plan.
@@ -392,7 +403,59 @@ class Linear:
         # formatting): always usable, but keep the plan only when legal
         self._lgroups = groups
 
+    def _kl_eligible(self) -> bool:
+        """apply_kl precondition: a bias-free slot bijection over
+        uniform-multiplicity irreps whose dot groups tile the whole input
+        (every slot read), so column offsets map to kernel-layout row
+        offsets as ``row = col // mul``.  True for the inter-layer
+        feature Linears (linear_1: square, uniform n_dim mul)."""
+        if self._lgroups is None or self.bias_slots:
+            return False
+        muls = {mi.mul for mi in self.irreps_in}
+        muls |= {mi.mul for mi in self.irreps_out}
+        if len(muls) != 1:
+            return False
+        if any(g["kind"] != "dot" for g in self._lgroups):
+            return False
+        # groups must cover the input contiguously from col 0
+        col = 0
+        for g in self._lgroups:
+            if g["c0"] != col:
+                return False
+            col = g["c1"]
+        return col == self.irreps_in.dim
+
+    def apply_kl(self, params, table: jnp.ndarray,
+                 num_nodes: int) -> jnp.ndarray:
+        """Apply in KERNEL LAYOUT: ``table`` is [N, R*mul] with rows
+        (component, channel) — the PallasFullConv node-table layout
+        (fused_conv._prep_x_nodes) — instead of irreps columns.  Same
+        weights, same contraction; the per-irrep (mul, d) transposes of
+        the columns layout vanish.  Caller must check _kl_eligible()."""
+        mul = self.irreps_in[0].mul
+        t = table.reshape(num_nodes, -1, mul)
+        outs = []
+        for g in self._lgroups:
+            S, d = len(g["ios"]), g["d"]
+            r0 = g["c0"] // mul
+            a = t[:, r0: r0 + S * d, :].reshape(num_nodes, S, d, mul)
+            w = jnp.stack([
+                params[f"w{ii}_{io}"] * self.alphas[io]
+                for ii, io in zip(g["iis"], g["ios"])
+            ])                                       # [S, mul, mul_out]
+            outs.append(
+                jnp.einsum("nsdu,suw->nsdw", a, w).reshape(
+                    num_nodes, S * d * mul
+                )
+            )
+        return jnp.concatenate(outs, axis=-1)
+
     def _apply_grouped(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        if x.shape[-1] < self._max_read:
+            raise ValueError(
+                f"Linear on {self.irreps_in} reads input cols up to "
+                f"{self._max_read}, got input with {x.shape[-1]} cols"
+            )
         outs = []
         for g in self._lgroups:
             if g["kind"] == "zero":
@@ -436,6 +499,11 @@ class Linear:
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
         if self._lgroups is not None:
             return self._apply_grouped(params, x)
+        if x.shape[-1] < self._max_read:
+            raise ValueError(
+                f"Linear on {self.irreps_in} reads input cols up to "
+                f"{self._max_read}, got input with {x.shape[-1]} cols"
+            )
         slices_in = self.irreps_in.slices()
         chunks: Dict[int, jnp.ndarray] = {}
         for ii, io in self.paths:

@@ -658,7 +658,7 @@ class Trainer:
         self.loss_stat.reset()
         self.metrics.reset()
 
-    def _device_prefetch(self, it, lookahead: int = 2):
+    def _device_prefetch(self, it, lookahead: int = None):
         """Producer-thread batch pipeline: collate/pack + async host->device
         transfer run one step ahead of consumption.
 
@@ -678,6 +678,11 @@ class Trainer:
 
         import os
 
+        if lookahead is None:
+            # deeper lookahead smooths loader-time variance on the
+            # single-host CPU at the cost of one extra resident batch
+            # per slot (E3_PREFETCH, default 2)
+            lookahead = int(os.environ.get("E3_PREFETCH", "2") or 2)
         q: queue.Queue = queue.Queue(maxsize=lookahead)
         sentinel = object()
         failure = []

@@ -61,13 +61,16 @@ def main():
         metric_key="validation_loss", learning_rate=1e-2,
         optimizer_name="Adam", lr_scheduler_name="ReduceLROnPlateau",
         lr_scheduler_factor=0.8, lr_scheduler_patience=1,
-        use_ema=True, ema_decay=0.99, max_epochs=14, batch_size=128,
+        use_ema=True, ema_decay=0.99,
+        max_epochs=int(_os.environ.get("E3_SOAK_EPOCHS", "14")),
+        batch_size=128,
         log_period=10000, save_period=0,
     )
     tr.set_dataset(ds)
     tr.init_metrics()
     maes = []
-    for epoch in range(14):
+    n_epochs = int(_os.environ.get("E3_SOAK_EPOCHS", "14"))
+    for epoch in range(n_epochs):
         t0 = time.perf_counter()
         tr.epoch_step()
         mae = float(tr.mae_dict["validation_total_energy_mae"])
