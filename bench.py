@@ -330,7 +330,7 @@ def kernel_provenance():
         # gated features stream between conv layers in node-table layout,
         # skipping the per-layer (m, d) transpose round trip
         "klayout": pallas
-        and os.environ.get("E3_KLAYOUT", "0") == "1",
+        and os.environ.get("E3_KLAYOUT", "1") != "0",
     }
     return {
         "backend": backend,
@@ -403,7 +403,7 @@ def bench_energy():
     return gps
 
 
-def bench_energy_force():
+def bench_energy_force(batch_size=None):
     """Force training: double-differentiates through the net
     (GradientOutput); convs run grad_order=2 (Pallas fwd + first vjp,
     XLA second order)."""
@@ -415,7 +415,7 @@ def bench_energy_force():
     from equivariant_nn_zoo_tpu.utils import build
 
     rng = np.random.default_rng(0)
-    batch_size = 64
+    batch_size = batch_size or 64
     cfg = get_config("config_energy_force")
     model = build(cfg.model_config)
     loss_obj = Loss(dict(cfg.loss_coeffs))
@@ -741,7 +741,9 @@ def main():
     if mode == "energy":
         bench_energy()
     elif mode == "energy_force":
-        bench_energy_force()
+        bench_energy_force(
+            batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else None
+        )
     elif mode == "diffusion":
         bench_diffusion()
     elif mode == "dipole":

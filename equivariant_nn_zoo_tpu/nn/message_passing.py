@@ -256,7 +256,7 @@ class FactorizedConvolution(Module):
         # the producer is then dead code under jit.
         import os as _os
 
-        kl_env = _os.environ.get("E3_KLAYOUT", "0") == "1"
+        kl_env = _os.environ.get("E3_KLAYOUT", "1") != "0"
         kl_t = None
         if (kl_env and self.full_conv is not None
                 and "_edge_tile_last" in data and self.grad_order < 2
@@ -558,7 +558,7 @@ class MessagePassing(Module):
         # table (written by the previous layer under its OUTPUT custom
         # key + "__kl", passed through the key maps untouched) to the
         # conv's internal name
-        kl_env = _os.environ.get("E3_KLAYOUT", "0") == "1"
+        kl_env = _os.environ.get("E3_KLAYOUT", "1") != "0"
         if kl_env and self._kl_in_key in data:
             data = dict(data)
             data["input_features__kl"] = data[self._kl_in_key]
