@@ -222,7 +222,8 @@ class FactorizedConvolution(Module):
                 self.fused_conv = None
 
     def _second_order_conv(self, fc_p, lin_p, x, er, sh, tile_args,
-                           edge_src, edge_dst, num_nodes, pre):
+                           edge_src, edge_dst, num_nodes, pre,
+                           x_table=None, extra_io=None, raw_out=False):
         """Double-grad-capable convolution, fully kernelized.
 
         Force training (GradientOutput wrapping the net, reference
@@ -236,6 +237,7 @@ class FactorizedConvolution(Module):
         (ops/pallas/fused_conv.py:_make_pallas_fn_ext)."""
         return self.full_conv.apply_grad2(
             fc_p, lin_p, x, er, sh, *tile_args, num_nodes, pre_scale=pre,
+            x_table=x_table, extra_io=extra_io, raw_out=raw_out,
         )
 
     def apply(self, params, data: Dict, attrs: Dict):
@@ -259,12 +261,34 @@ class FactorizedConvolution(Module):
         kl_env = _os.environ.get("E3_KLAYOUT", "1") != "0"
         kl_t = None
         if (kl_env and self.full_conv is not None
-                and "_edge_tile_last" in data and self.grad_order < 2
+                and "_edge_tile_last" in data
                 and self.linear_1._kl_eligible()):
+            # grad_order>=2 included: every kl leg on the force path is
+            # pure XLA (Linear.apply_kl, FusedScalarFCTP.apply_blocks,
+            # apply_grad2's table consumption), differentiable to any
+            # order
             kl_t = data.get("input_features__kl")
 
         sc_raw = None
-        if self.use_sc:
+        sc_blocks = None
+        if self.use_sc and self.grad_order >= 2:
+            # force path: the species-table Pallas sc is first-order
+            # only, so grad2 uses the XLA FusedScalarFCTP; under klayout
+            # it emits component-major blocks (identical MACs) that fold
+            # into the conv's output formatting like sc_raw does below
+            if (kl_env and self.full_conv is not None
+                    and "_edge_tile_last" in data
+                    and self.fused_sc is not None):
+                sc_blocks = self.fused_sc.apply_blocks(
+                    params["sc"], x, data["node_attrs"], x_table=kl_t
+                )
+                sc = None
+            elif self.fused_sc is not None:
+                sc = self.fused_sc.apply(params["sc"], x,
+                                         data["node_attrs"])
+            else:
+                sc = self.sc.apply(params["sc"], x, data["node_attrs"])
+        elif self.use_sc:
             if (
                 self.species_sc is not None
                 and "species" in data
@@ -317,11 +341,19 @@ class FactorizedConvolution(Module):
             )
             blocks = None
             if self.grad_order >= 2:
+                # kl mirror of the first-order branch below: consume the
+                # node table, fold the (XLA, any-order) sc blocks, emit
+                # blocks for the next layer
+                want_blocks = kl_env and (sc_blocks is not None
+                                          or not self.use_sc)
                 out = self._second_order_conv(
                     params["fc"], tp_params["linear"], x, edge_radial,
                     data["edge_spherical"], tile_args, edge_src, edge_dst,
-                    x.shape[0], pre,
+                    x.shape[0], pre, x_table=x_table, extra_io=sc_blocks,
+                    raw_out=want_blocks,
                 )
+                if want_blocks:
+                    out, blocks = out
             else:
                 # emit the pre-transpose blocks for the NEXT layer's kl
                 # consumption only when the sc is folded in raw form (or
@@ -337,7 +369,7 @@ class FactorizedConvolution(Module):
                 )
                 if want_blocks:
                     out, blocks = out
-            if self.use_sc and sc_raw is None:
+            if self.use_sc and sc_raw is None and sc_blocks is None:
                 out = out + sc
             is_per = attrs["input_features"][0]
             ret = {"output_features": out}

@@ -331,3 +331,59 @@ class FusedScalarFCTP:
             else:
                 outs.append(jnp.zeros((N, mo.dim), jnp.float32))
         return jnp.concatenate(outs, axis=-1)
+
+    def apply_blocks(self, params, x, attrs, x_table=None):
+        """Self-connection emitting component-major blocks
+        ``{io: [N, d, mul_out]}`` (PallasFullConv._output_blocks layout)
+        instead of formatted columns, at identical MACs — the batched dot
+        just emits [N, d, w] directly instead of [N, w, d].
+
+        ``x_table``: read the input from the kernel-layout node table
+        [N, I*mul] (fused_conv._prep_x_nodes rows, uniform mul) instead
+        of the irreps columns of ``x`` — the grad_order>=2 klayout
+        handoff.  Pure XLA, differentiable to any order (unlike the
+        species-table Pallas sc, which is first-order only and therefore
+        stays out of force steps)."""
+        cd = self.compute_dtype
+        tp = self.tp
+        weight = params["weight"]
+        a = attrs.astype(cd)
+        if x_table is not None:
+            muls = {mi.mul for mi in tp.irreps_in1}
+            assert len(muls) == 1, "table input needs uniform multiplicity"
+            mul = muls.pop()
+            N = x_table.shape[0]
+            t = x_table.reshape(N, -1, mul)
+            row0, r = [], 0
+            for mi in tp.irreps_in1:
+                row0.append(r)
+                r += mi.ir.dim
+        else:
+            N = x.shape[0]
+            slices1 = tp.irreps_in1.slices()
+        blocks = {}
+        for ins, w_ofs, shape in self.items:
+            mul1, mul2, mul_out = shape
+            d = tp.irreps_in1[ins.i_in1].ir.dim
+            w = (weight[w_ofs: w_ofs + mul1 * mul2 * mul_out]
+                 .reshape(mul1, mul2, mul_out)
+                 * (ins.path_weight / np.sqrt(d)))
+            A = jax.lax.dot_general(
+                a, w.astype(cd),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)                              # [N, mul1, mul_out]
+            if x_table is not None:
+                r0 = row0[ins.i_in1]
+                xbT = t[:, r0: r0 + d, :].astype(cd)  # [N, d, mul1]
+            else:
+                xbT = jnp.transpose(
+                    x[:, slices1[ins.i_in1]].reshape(N, mul1, d), (0, 2, 1)
+                ).astype(cd)
+            o = jax.lax.dot_general(
+                xbT, A,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                         # [N, d, mul_out] f32
+            blocks[ins.i_out] = blocks.get(ins.i_out, 0) + o
+        return blocks

@@ -2192,19 +2192,32 @@ class PallasFullConv(PallasUVUConv):
 
     def apply_grad2(self, fc_params, linear_params, x, edge_radial, sh,
                     win0, tile_first, tile_last, src_local, dst_local,
-                    num_nodes: int, pre_scale=None, out_dtype=jnp.float32):
+                    num_nodes: int, pre_scale=None, out_dtype=jnp.float32,
+                    x_table=None, extra_io=None, raw_out=False):
         """Twice-differentiable full conv (force / score training).
 
         Same math as ``__call__`` but the radial MLP, operand layout prep
         and output formatting run in XLA (differentiable to any order);
         only the 4-linear conv core is a Pallas custom-vjp pair.  See
-        _make_pallas_fn_ext for the second-order structure."""
+        _make_pallas_fn_ext for the second-order structure.
+
+        ``x_table``/``extra_io``/``raw_out`` mirror ``__call__``'s
+        kernel-layout handoff (all three legs are pure XLA here, so the
+        kl plumbing is differentiable to any order): consume the node
+        table directly, fold sc blocks into the output, and emit the
+        pre-transpose blocks for the next layer."""
         cd = self.compute_dtype
         E = sh.shape[0]
         T = self.tile
         assert E % T == 0
 
-        x_nodes = self._prep_x_nodes(x, num_nodes)
+        if x_table is not None:
+            # kl handoff: x IS already the node table — skip the (m, d)
+            # transpose prep (and its adjoint/tangent at every
+            # differentiation level of the force step)
+            x_nodes = x_table.astype(cd)
+        else:
+            x_nodes = self._prep_x_nodes(x, num_nodes)
         shT = jnp.transpose(sh, (1, 0)).astype(cd)
         # transposed radial MLP: every intermediate keeps E minor, and the
         # [P*mul, E] operand comes out directly as a major-axis row gather —
@@ -2236,7 +2249,10 @@ class PallasFullConv(PallasUVUConv):
             srcl, dstl,
         )
         acc = f2(x_nodes, shT, wT2, wsel)
-        return self._format_output(acc, num_nodes, None, out_dtype)
+        out = self._format_output(acc, num_nodes, extra_io, out_dtype)
+        if raw_out:
+            return out, self._output_blocks(acc, num_nodes, extra_io)
+        return out
 
     # ------------------------------------------------------------ pallas op
     def _make_pallas_fn(self, N, E, win0, tile_first, tile_last, srcl, dstl):

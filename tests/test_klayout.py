@@ -112,6 +112,83 @@ def test_klayout_parity(monkeypatch):
     assert rel < 1e-5, rel
 
 
+def test_klayout_grad2_parity(monkeypatch):
+    """Force path (grad_order=2) klayout: kl on/off must agree in energy,
+    forces AND parameter double-grads.  Every kl leg there is pure XLA
+    (Linear.apply_kl, FusedScalarFCTP.apply_blocks, apply_grad2's table
+    consumption), so the handoff is differentiable to any order; this
+    asserts it both engages and stays exact."""
+    import jax
+    import jax.numpy as jnp
+
+    import equivariant_nn_zoo_tpu.ops.fused_tp as ft_mod
+    import equivariant_nn_zoo_tpu.ops.tensor_product as tp_mod
+    from equivariant_nn_zoo_tpu.models.layer_configs import (
+        addEnergyOutput, addForceOutput, featureModel,
+    )
+    from equivariant_nn_zoo_tpu.utils import build
+
+    monkeypatch.setenv("E3_PALLAS", "force")
+    num_layers = 3
+    mc = featureModel(
+        n_dim=8, l_max=2, node_attrs="4x0e", edge_radial="4x0e",
+        num_types=10, num_layers=num_layers, r_max=3.0,
+    )
+    mc = addEnergyOutput(mc, shifts=None, output_key="energy")
+    mc = addForceOutput(mc)                   # grad_order=2 conv path
+    model = build(mc)
+    params = model.init(jax.random.PRNGKey(0))
+    gb = _make_batch()
+
+    kl_calls, sc_calls = [], []
+    orig_kl = tp_mod.Linear.apply_kl
+    orig_blk = ft_mod.FusedScalarFCTP.apply_blocks
+
+    def counting_kl(self, *a, **k):
+        kl_calls.append(1)
+        return orig_kl(self, *a, **k)
+
+    def counting_blocks(self, *a, **k):
+        sc_calls.append(1)
+        return orig_blk(self, *a, **k)
+
+    monkeypatch.setattr(tp_mod.Linear, "apply_kl", counting_kl)
+    monkeypatch.setattr(
+        ft_mod.FusedScalarFCTP, "apply_blocks", counting_blocks
+    )
+
+    def loss(p):
+        out = model.apply(p, gb)
+        e = out["energy"] * out["_graph_mask"]
+        f = out["forces"] * out["_node_mask"]
+        return jnp.sum(e ** 2) + jnp.sum(f ** 2), out
+
+    monkeypatch.setenv("E3_KLAYOUT", "0")
+    (l0, out0), g0 = jax.value_and_grad(loss, has_aux=True)(params)
+    assert not kl_calls and not sc_calls
+
+    monkeypatch.setenv("E3_KLAYOUT", "1")
+    (l1, out1), g1 = jax.value_and_grad(loss, has_aux=True)(params)
+    # layer 0 has no incoming table; layers 1..n-1 consume one each.
+    # the sc folds as blocks on EVERY trunk layer (table or formatted in)
+    assert len(kl_calls) == num_layers - 1
+    assert len(sc_calls) == num_layers
+
+    for key in ("energy", "forces"):
+        a = np.asarray(out0[key])
+        b = np.asarray(out1[key])
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(b - a).max() / scale < 1e-5, key
+
+    leaves0 = jax.tree_util.tree_leaves(g0)
+    leaves1 = jax.tree_util.tree_leaves(g1)
+    gscale = max(float(jnp.abs(a).max()) for a in leaves0) + 1e-30
+    rel = max(
+        float(jnp.abs(a - b).max()) for a, b in zip(leaves0, leaves1)
+    ) / gscale
+    assert rel < 1e-5, rel
+
+
 def test_klayout_table_matches_prep(monkeypatch):
     """The emitted kl table must BE the next layer's _prep_x_nodes of the
     formatted features — the invariant the whole handoff rests on."""
