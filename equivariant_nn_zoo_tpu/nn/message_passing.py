@@ -630,6 +630,16 @@ class MessagePassing(Module):
                     )
             out_blocks = self.equivariant_nonlin.apply_kl(entries)
             table = jnp.concatenate(out_blocks, axis=1).reshape(N, -1)
+            # store the table in the conv's compute dtype (E3_KL_CD=0 for
+            # f32): every consumer (conv x load, sc table, linear_1 input
+            # rounding) casts to compute dtype anyway, so the rounding
+            # just moves to the producer and the table's HBM round trip
+            # halves.  Gate math above stays f32.  No-op when the compute
+            # dtype IS f32 (CI).
+            fc_conv = getattr(self.conv, "full_conv", None)
+            if (fc_conv is not None
+                    and _os.environ.get("E3_KL_CD", "1") != "0"):
+                table = table.astype(fc_conv.compute_dtype)
             ret[self._kl_out_key] = table
             out_attrs[self._kl_out_key] = (is_per, str(table.shape[-1]))
         return ret, out_attrs
